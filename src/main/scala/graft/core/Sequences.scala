@@ -571,23 +571,67 @@ object StrictSeq {
   }
 }
 
-/** Positive integers stored as prefix sums in a strict sequence; move(i)
-  * returns the difference of consecutive prefix sums
+/** Uniform interface over the sequence encodings, so index families can
+  * compose them (the reference composes via template parameters,
+  * index_types.hpp:18-42). */
+trait SequenceKind extends Serializable {
+  def bitSize(p: SeqParams, universe: Long, n: Long): Long
+  def write(bw: BitWriter, values: Int => Long, universe: Long, n: Long,
+            p: SeqParams): Unit
+  def enumerator(bv: BitVector, offset: Long, universe: Long, n: Long,
+                 p: SeqParams): SeqEnum
+}
+
+object CompactEfKind extends SequenceKind {
+  def bitSize(p: SeqParams, universe: Long, n: Long): Long =
+    CompactEliasFano.bitSize(p, universe, n)
+  def write(bw: BitWriter, values: Int => Long, universe: Long, n: Long,
+            p: SeqParams): Unit =
+    CompactEliasFano.write(bw, values, universe, n, p)
+  def enumerator(bv: BitVector, offset: Long, universe: Long, n: Long,
+                 p: SeqParams): SeqEnum =
+    new CompactEliasFano.Enumerator(bv, offset, universe, n, p)
+}
+
+object IndexedKind extends SequenceKind {
+  def bitSize(p: SeqParams, universe: Long, n: Long): Long =
+    IndexedSeq.bitSize(p, universe, n)
+  def write(bw: BitWriter, values: Int => Long, universe: Long, n: Long,
+            p: SeqParams): Unit =
+    IndexedSeq.write(bw, values, universe, n, p)
+  def enumerator(bv: BitVector, offset: Long, universe: Long, n: Long,
+                 p: SeqParams): SeqEnum =
+    IndexedSeq.enumerator(bv, offset, universe, n, p)
+}
+
+object StrictKind extends SequenceKind {
+  def bitSize(p: SeqParams, universe: Long, n: Long): Long =
+    StrictSeq.bitSize(p, universe, n)
+  def write(bw: BitWriter, values: Int => Long, universe: Long, n: Long,
+            p: SeqParams): Unit =
+    StrictSeq.write(bw, values, universe, n, p)
+  def enumerator(bv: BitVector, offset: Long, universe: Long, n: Long,
+                 p: SeqParams): SeqEnum =
+    StrictSeq.enumerator(bv, offset, universe, n, p)
+}
+
+/** Positive integers stored as prefix sums in a strict-family sequence;
+  * move(i) returns the difference of consecutive prefix sums
   * (/root/reference/positive_sequence.hpp). */
 object PositiveSeq {
   def write(bw: BitWriter, values: Int => Long, universe: Long, n: Long,
-            p: SeqParams): Unit = {
+            p: SeqParams, base: SequenceKind = StrictKind): Unit = {
     require(n > 0)
     var sum = 0L
     val prefix = new Array[Long](n.toInt)
     var i = 0
     while (i < n) { sum += values(i); prefix(i) = sum; i += 1 }
-    StrictSeq.write(bw, j => prefix(j), universe, n, p)
+    base.write(bw, j => prefix(j), universe, n, p)
   }
 
   final class Enumerator(bv: BitVector, offset: Long, universe: Long, n: Long,
-                         p: SeqParams) {
-    private val base = StrictSeq.enumerator(bv, offset, universe, n, p)
+                         p: SeqParams, baseKind: SequenceKind = StrictKind) {
+    private val base = baseKind.enumerator(bv, offset, universe, n, p)
     private var mPosition: Long = base.size
     private var mCur: Long = 0L
 
