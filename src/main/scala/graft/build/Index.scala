@@ -89,7 +89,8 @@ object IndexBuilder {
   def build(spark: SparkSession, docs: Dataset[DocRow], indexType: String,
             shardSize: Long = 1L << 22,
             buildPartitions: Int = 32,
-            onlyShards: Option[Set[Int]] = None): BuiltIndex = {
+            onlyShards: Option[Set[Int]] = None,
+            dictBroadcast: Option[Boolean] = None): BuiltIndex = {
     import spark.implicits._
 
     val docsP = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -106,12 +107,17 @@ object IndexBuilder {
     val dict = Dictionary.build(spark, termFreqs.select($"term", $"tf"),
                                 buildPartitions)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val numTerms = dict.count()
-
-    // attach termIds; dictionary is usually orders of magnitude smaller
-    // than postings -> broadcast when small, AQE decides otherwise
+    // broadcast only a genuinely small dictionary — a large broadcast
+    // serializes on the driver and caps scaling; callers that know the
+    // vocabulary shape can skip the sizing job entirely
+    val (numTerms, useBroadcast) = dictBroadcast match {
+      case Some(b) => (-1L, b)
+      case None =>
+        val n = dict.count()
+        (n, n <= 200000)
+    }
     val dictCols = dict.select($"term", $"termId")
-    val dictJoin = if (numTerms <= 2000000) broadcast(dictCols) else dictCols
+    val dictJoin = if (useBroadcast) broadcast(dictCols) else dictCols
     val postings = termFreqs.join(dictJoin, "term")
       .select($"termId", $"docId", $"tf", $"len")
 

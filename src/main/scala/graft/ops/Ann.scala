@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]). Baseline: exact brute-force cosine top-k expressed
+  * with codegen'd array functions (zip_with + aggregate — no UDF in the
+  * hot path). Scale path: random-hyperplane LSH bucketing, so candidate
+  * generation is a bucket join instead of a crossJoin. */
+object Ann {
+
+  /** Double-precision dot product of two float-array columns via
+    * zip_with + aggregate (whole-stage-codegen friendly). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k neighbors for the query vectors (vec_id in
+    * queryIds), quantized to floor(cos*1000) for engine-independent
+    * ranking; tie-break by neighbor id. */
+  def cosineTopK(spark: SparkSession, embeddings: DataFrame,
+                 queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val joined = q.crossJoin(
+        embeddings.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("qv"), col("nv")) /
+                         (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("cos_q", floor(col("cos") * 1000).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"),
+              col("rank").cast("long").as("rank"),
+              col("neighbor_id").cast("long").as("neighbor_id"),
+              col("cos_q"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes (Gaussian, seeded). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH signature bits: sign of projection on each hyperplane. */
+  def signature(v: Array[Float], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var p = 0
+    while (p < planes.length) {
+      var s = 0.0
+      val plane = planes(p)
+      var i = 0
+      while (i < v.length) { s += v(i) * plane(i); i += 1 }
+      if (s > 0) sig |= 1 << p
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed approximate top-k: multi-table (numTables) signatures;
+    * candidates = same bucket in any table; ranked by exact cosine.
+    * Recall/approximation verified against cosineTopK in ScalaTest. */
+  def lshTopK(spark: SparkSession, embeddings: DataFrame,
+              queryIds: Seq[Long], k: Int = 10, numPlanes: Int = 6,
+              numTables: Int = 16, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val tables = spark.sparkContext.broadcast(
+      Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t)))
+    val sigs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        tables.value.indices.map(t => (t, signature(v, tables.value(t)), id))
+      }.toDF("table", "bucket", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = sigs.filter(col("vec_id").isin(queryIds: _*))
+      .withColumnRenamed("vec_id", "query_id")
+    val cand = qs.join(sigs, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val q = embeddings.select(col("vec_id").as("query_id"),
+                              col("embedding").as("qv"))
+    val n = embeddings.select(col("vec_id").as("neighbor_id"),
+                              col("embedding").as("nv"))
+    val scored = cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("nv")) /
+                         (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("cos_q", floor(col("cos") * 1000).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+              col("neighbor_id").cast("long"), col("cos_q"))
+      .orderBy("query_id", "rank")
+  }
+}

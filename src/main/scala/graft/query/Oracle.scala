@@ -1,0 +1,75 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pure-Catalyst oracles over the raw documents table — declarative
+  * DataFrame plans (tokenize via SQL functions, BM25 as column
+  * expressions) that Catalyst optimizes end-to-end. These double as the
+  * SQL-expressible verification path for the kernel engine (SURVEY.md
+  * §2.5 Q7 oracle form) and are mirrored by equivalent DuckDB SQL in
+  * SparkEntry.oracleSql. */
+object Oracle {
+
+  /** documents -> (doc_id, term) token stream; matches
+    * Tokenize.tokens (lower + split on non-alphanumeric runs). */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+              explode(split(lower(col("text")), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+  }
+
+  /** (term, doc_id, tf) postings. */
+  def postings(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir).groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** (doc_id, len) document lengths. */
+  def docLens(spark: SparkSession, sfDir: String): DataFrame =
+    tokens(spark, sfDir).groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("len"))
+
+  /** Declarative double-precision BM25 top-k, quantized to
+    * floor(score*100) so Spark and DuckDB rank identically despite
+    * sum-order ulps; tie-break (score_q desc, doc_id asc).
+    * queriesDf: (query_id, term) with duplicates = query-term
+    * multiplicity. */
+  def bm25TopK(spark: SparkSession, sfDir: String, queriesDf: DataFrame,
+               k: Int): DataFrame = {
+    val post = postings(spark, sfDir)
+    val lens = docLens(spark, sfDir)
+    val stats = lens.agg(count(lit(1)).cast("double").as("n"),
+                         (sum("len") / count(lit(1))).as("avg_len"))
+    val df = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val q = queriesDf.groupBy("query_id", "term")
+      .agg(count(lit(1)).cast("double").as("qtf"))
+
+    val scored = q
+      .join(post, "term")
+      .join(df, "term")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("qw", col("qtf") *
+        greatest(lit(1.0e-6), log((col("n") - col("df") + 0.5) / (col("df") + 0.5))) *
+        lit(2.2))
+      .withColumn("dtw", col("tf").cast("double") /
+        (col("tf").cast("double") +
+         lit(1.2) * (lit(0.5) + lit(0.5) * (col("len").cast("double") / col("avg_len")))))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("qw") * col("dtw")).as("score"))
+      .withColumn("score_q", floor(col("score") * 100).cast("long"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"),
+              col("rank").cast("long").as("rank"),
+              col("doc_id").cast("long").as("doc_id"),
+              col("score_q"))
+      .orderBy("query_id", "rank")
+  }
+}
