@@ -70,7 +70,9 @@ object Bench {
       : Map[String, Map[String, Double]] = {
     val idx = SparkEntry.indexOf(spark, sfDir)
     val meta = idx.meta
-    val segs = idx.segments.collect().groupBy(_.shard)
+    val segs: Array[(Int, Map[Int, graft.build.Segment])] =
+      idx.segments.collect().groupBy(_.shard).toArray
+        .map { case (sh, ss) => (sh, ss.map(s => s.termId -> s).toMap) }
     val norms = idx.norms.collect().map(n => n.shard -> n.norms).toMap
     val dict = idx.dict.collect()
     val termIds = dict.map(_.termId).sorted
@@ -85,8 +87,7 @@ object Bench {
     val codec = IndexBuilder.codecFor(meta.indexType)
 
     def runQuery(op: String, terms: Array[Int]): Unit = {
-      segs.foreach { case (shard, ss) =>
-        val byTerm = ss.map(s => s.termId -> s).toMap
+      segs.foreach { case (shard, byTerm) =>
         val nl = norms(shard)
         val shardDocs = nl.length
         val qts = Daat.queryFreqs(terms).filter(q => byTerm.contains(q.termId))

@@ -158,8 +158,12 @@ object Engine {
     val kL = k
     val scorerL = scorer
 
+    // Column predicate (not a typed lambda) so the filter pushes down to
+    // the parquet scan / cached-batch pruning instead of deserializing
+    // every segment row
     val filteredSegs = index.segments
-      .filter(s => neededTerms.contains(s.termId)) // pruned at the scan
+      .filter(org.apache.spark.sql.functions.col("termId")
+        .isin(neededTerms.toSeq: _*))
     filteredSegs.groupByKey(_.shard)
       .cogroup(index.norms.groupByKey(_.shard)) { (shard, segIt, normIt) =>
         val norms = normIt.toSeq.headOption.map(_.norms).getOrElse(Array.empty)
