@@ -44,6 +44,8 @@ object Bench {
   def buildThroughputPublic(cores: Int, nDocs: Int): Double =
     buildThroughput(cores, nDocs)
 
+  def opPerfTestPublic(): Map[String, Map[String, Double]] = opPerfTest()
+
   /** Build the full index from a synthetic corpus; returns docs/sec. */
   private def buildThroughput(cores: Int, nDocs: Int): Double = {
     val spark = newSession(cores)
@@ -65,63 +67,65 @@ object Bench {
     } finally spark.stop()
   }
 
-  /** In-memory single-shard serving, the ds2i parity measurement. */
-  private def opPerfTest(spark: SparkSession, sfDir: String)
-      : Map[String, Map[String, Double]] = {
-    val idx = SparkEntry.indexOf(spark, sfDir)
-    val meta = idx.meta
-    val segs: Array[(Int, Map[Int, graft.build.Segment])] =
-      idx.segments.collect().groupBy(_.shard).toArray
-        .map { case (sh, ss) => (sh, ss.map(s => s.termId -> s).toMap) }
-    val norms = idx.norms.collect().map(n => n.shard -> n.norms).toMap
-    val dict = idx.dict.collect()
-    val termIds = dict.map(_.termId).sorted
-    val dfById = dict.map(e => e.termId -> e.df).toMap
-    val rnd = new scala.util.Random(4242)
-    // FIXTURES.md §3 profile: 500 queries, 1-11 terms, head/tail mix
-    val lenDist = Array(2, 2, 2, 3, 3, 3, 4, 4, 1, 5, 5, 6, 7, 1, 2, 3)
-    val queries = Array.tabulate(500) { _ =>
-      val len = lenDist(rnd.nextInt(lenDist.length))
-      Array.fill(len)(termIds(rnd.nextInt(termIds.length)))
+  /** In-memory single-node serving on a Zipf collection mirroring the
+    * reference test-corpus regime (10k docs, ~50k-term head/tail skew) —
+    * the apples-to-apples counterpart of ds2i's op_perftest numbers
+    * (README.md:125-135: 9.9-11.1 us ranked_and means). */
+  private def opPerfTest(): Map[String, Map[String, Double]] = {
+    val z = CollectionGen.zipf(numDocs = 10000, vocab = 50000)
+    val coll = z.coll
+    val queries = z.queries
+    val codec: BlockCodec = OptPfdCodec
+    val enc = coll.termDocs.indices.map(t =>
+      BlockPostingList.encode(codec, coll.termDocs(t), coll.termFreqs(t))).toArray
+    val maxW = new Array[Float](enc.length)
+    val blockMax = new Array[Array[Float]](enc.length)
+    for (ti <- enc.indices) {
+      val docs = coll.termDocs(ti); val tfs = coll.termFreqs(ti)
+      val bm = new Array[Float]((docs.length + 127) / 128)
+      var i = 0
+      while (i < docs.length) {
+        val s = Bm25.docTermWeight(tfs(i).toLong, coll.normLens(docs(i)))
+        if (s > bm(i >>> 7)) bm(i >>> 7) = s
+        if (s > maxW(ti)) maxW(ti) = s
+        i += 1
+      }
+      blockMax(ti) = bm
     }
-    val codec = IndexBuilder.codecFor(meta.indexType)
 
     def runQuery(op: String, terms: Array[Int]): Unit = {
-      segs.foreach { case (shard, byTerm) =>
-        val nl = norms(shard)
-        val shardDocs = nl.length
-        val qts = Daat.queryFreqs(terms).filter(q => byTerm.contains(q.termId))
-        if (qts.nonEmpty) {
-          def open(tid: Int): BlockPostingList.Enumerator =
-            new BlockPostingList.Enumerator(byTerm(tid).bytes, 0, shardDocs, codec)
-          op match {
-            case "and" => Daat.andCount(qts.map(q => open(q.termId): PostingEnum), shardDocs)
-            case "or" => Daat.orCount(qts.map(q => open(q.termId): PostingEnum), shardDocs)
-            case _ =>
-              val lists = qts.map { q =>
-                val en = open(q.termId)
-                val qw = Bm25.queryTermWeight(q.qtf.toLong, dfById(q.termId), meta.numDocs)
-                new Daat.ScoredList(en, qw, qw * byTerm(q.termId).maxScore,
-                                    en, byTerm(q.termId).blockMaxScores)
-              }
-              op match {
-                case "ranked_or" => Daat.rankedOr(lists, nl, shardDocs, 10)
-                case "ranked_and" => Daat.rankedAnd(lists, nl, shardDocs, 10)
-                case "wand" => Daat.wand(lists, nl, shardDocs, 10)
-                case "maxscore" => Daat.maxscore(lists, nl, shardDocs, 10)
-                case "block_max_wand" => Daat.blockMaxWand(lists, nl, shardDocs, 10)
-              }
+      val qts = Daat.queryFreqs(terms)
+      def open(tid: Int): BlockPostingList.Enumerator =
+        new BlockPostingList.Enumerator(enc(tid), 0, coll.numDocs, codec)
+      op match {
+        case "and" => Daat.andCount(qts.map(q => open(q.termId): PostingEnum),
+                                    coll.numDocs)
+        case "or" => Daat.orCount(qts.map(q => open(q.termId): PostingEnum),
+                                  coll.numDocs)
+        case _ =>
+          val lists = qts.map { q =>
+            val en = open(q.termId)
+            val qw = Bm25.queryTermWeight(q.qtf.toLong,
+                                          coll.termDocs(q.termId).length.toLong,
+                                          coll.numDocs.toLong)
+            new Daat.ScoredList(en, qw, qw * maxW(q.termId), en, blockMax(q.termId))
           }
-        }
+          op match {
+            case "ranked_or" => Daat.rankedOr(lists, coll.normLens, coll.numDocs, 10)
+            case "ranked_and" => Daat.rankedAnd(lists, coll.normLens, coll.numDocs, 10)
+            case "wand" => Daat.wand(lists, coll.normLens, coll.numDocs, 10)
+            case "maxscore" => Daat.maxscore(lists, coll.normLens, coll.numDocs, 10)
+            case "block_max_wand" => Daat.blockMaxWand(lists, coll.normLens, coll.numDocs, 10)
+          }
       }
     }
 
     val ops = Seq("and", "or", "ranked_and", "ranked_or", "wand",
                   "maxscore", "block_max_wand")
     ops.map { op =>
-      queries.foreach(q => runQuery(op, q)) // warmup (untimed)
+      queries.foreach(q => runQuery(op, q)) // 1 untimed warmup run
       val elapsed = scala.collection.mutable.ArrayBuffer.empty[Double]
-      for (_ <- 0 until 2; q <- queries) {
+      for (_ <- 0 until 2; q <- queries) { // 2 timed runs (queries.cpp:25-60)
         val t0 = System.nanoTime()
         runQuery(op, q)
         elapsed += (System.nanoTime() - t0) / 1e3
@@ -151,8 +155,8 @@ object Bench {
       name -> sec
     }
 
-    // ds2i-protocol query latency on the in-memory index
-    val perf = try opPerfTest(spark, sfDir)
+    // ds2i-protocol query latency on the in-memory Zipf collection
+    val perf = try opPerfTest()
                catch { case _: Throwable => Map.empty[String, Map[String, Double]] }
 
     // distributed throughput: all 16 fixed queries, one job

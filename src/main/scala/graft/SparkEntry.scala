@@ -59,12 +59,20 @@ object SparkEntry {
 
   def indexOf(spark: SparkSession, sfDir: String,
               indexType: String = "block_optpfor"): BuiltIndex =
-    cached(s"idx:$indexType:$sfDir") {
-      val idx = IndexBuilder.build(spark, docsOf(spark, sfDir), indexType,
-                                   shardSize = 1L << 21, buildPartitions = 8)
-      idx.segments.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      idx.norms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      idx
+    if (indexType == "block_optpfor") {
+      // only the default index is kept hot; alternate families (used by
+      // the round-trip verify sweep) are one-shot and must not pile up
+      // cached segments in long sessions
+      cached(s"idx:$indexType:$sfDir") {
+        val idx = IndexBuilder.build(spark, docsOf(spark, sfDir), indexType,
+                                     shardSize = 1L << 21, buildPartitions = 8)
+        idx.segments.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx.norms.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx
+      }
+    } else {
+      IndexBuilder.build(spark, docsOf(spark, sfDir), indexType,
+                         shardSize = 1L << 21, buildPartitions = 8)
     }
 
   private def queriesDf(spark: SparkSession): DataFrame = {
@@ -202,7 +210,7 @@ object SparkEntry {
       import s.implicits._
       val raw = Oracle.postings(s, dir)
       Seq("block_optpfor", "block_interpolative", "block_varint",
-          "ef", "single", "uniform", "opt").map { t =>
+          "block_mixed", "ef", "single", "uniform", "opt").map { t =>
         val dec = decodedPostings(s, dir, t)
         val bad = dec.unionAll(raw).groupBy("term", "doc_id", "tf")
           .agg(count(lit(1)).as("c")).filter($"c" =!= 2).count()
@@ -368,8 +376,8 @@ object SparkEntry {
 
     "ii_verify_roundtrip" ->
       ("SELECT * FROM (VALUES " +
-       Seq("block_interpolative", "block_optpfor", "block_varint",
-           "ef", "opt", "single", "uniform")
+       Seq("block_interpolative", "block_mixed", "block_optpfor",
+           "block_varint", "ef", "opt", "single", "uniform")
          .map(t => s"('$t', 0::BIGINT)").mkString(", ") +
        ") AS t(index_type, mismatches) ORDER BY index_type"),
 

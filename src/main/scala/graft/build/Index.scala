@@ -36,12 +36,14 @@ final case class BuiltIndex(meta: IndexMeta,
 
 object IndexBuilder {
 
-  val BlockFamilies = Set("block_optpfor", "block_interpolative", "block_varint")
+  val BlockFamilies = Set("block_optpfor", "block_interpolative",
+                          "block_varint", "block_mixed")
 
   def codecFor(indexType: String): BlockCodec = indexType match {
     case "block_optpfor" => OptPfdCodec
     case "block_interpolative" => InterpolativeCodec
     case "block_varint" => VarintCodec
+    case "block_mixed" => MixedCodec
     case other => throw new IllegalArgumentException(s"not a block type: $other")
   }
 

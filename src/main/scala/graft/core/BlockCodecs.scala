@@ -548,9 +548,54 @@ object VarintCodec extends BlockCodec {
   }
 }
 
+/** Mixed block codec: each full block carries a 1-byte codec tag and the
+  * smallest encoding among {OptPFD, varint, interpolative} — the
+  * space-optimal point of the reference's per-block space-time frontier
+  * (/root/reference/mixed_block.hpp:10-218 with lambda -> infinity;
+  * partial blocks are always interpolative there too). */
+object MixedCodec extends BlockCodec {
+  def name = "mixed"
+  private val candidates: Array[BlockCodec] =
+    Array(OptPfdCodec, VarintCodec, InterpolativeCodec)
+
+  def encode(in: Array[Int], sumOfValues: Int, n: Int, out: ByteWriter): Unit = {
+    require(n <= blockSize)
+    if (n < blockSize) { InterpolativeCodec.encode(in, sumOfValues, n, out); return }
+    // interpolative prefix-sums values: only a valid candidate when the
+    // sum stays inside u32 (the reference's implicit contract)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (in(i).toLong & 0xffffffffL); i += 1 }
+    val interpOk = sum <= Int.MaxValue && in.forall(_ >= 0)
+    var bestTag = 0
+    var best: Array[Byte] = null
+    var tag = 0
+    while (tag < candidates.length) {
+      if (tag != 2 || interpOk) {
+        val w = new ByteWriter()
+        candidates(tag).encode(in, sumOfValues, n, w)
+        val bytes = w.result()
+        if (best == null || bytes.length < best.length) { best = bytes; bestTag = tag }
+      }
+      tag += 1
+    }
+    out.putByte(bestTag)
+    out.putBytes(best, 0, best.length)
+  }
+
+  def decode(in: Array[Byte], offset: Int, out: Array[Int], sumOfValues: Int,
+             n: Int): Int = {
+    if (n < blockSize)
+      return InterpolativeCodec.decode(in, offset, out, sumOfValues, n)
+    val tag = in(offset) & 0xff
+    candidates(tag).decode(in, offset + 1, out, sumOfValues, n)
+  }
+}
+
 object BlockCodecs {
   val byName: Map[String, BlockCodec] = Map(
     "optpfd" -> OptPfdCodec,
     "interpolative" -> InterpolativeCodec,
-    "varint" -> VarintCodec)
+    "varint" -> VarintCodec,
+    "mixed" -> MixedCodec)
 }

@@ -30,6 +30,14 @@ object Profile {
       return
     }
 
+    if (what == "perftest") {
+      val perf = graft.Bench.opPerfTestPublic()
+      perf.toSeq.sortBy(_._1).foreach { case (op, st) =>
+        println(f"[prof] $op%-15s mean=${st("mean")}%8.1f us  q50=${st("q50")}%8.1f  q90=${st("q90")}%8.1f  q95=${st("q95")}%8.1f")
+      }
+      return
+    }
+
     if (what == "phases") {
       val n = if (args.length > 1) args(1).toInt else 300000
       for (cores <- Seq(8, 32)) {
@@ -64,7 +72,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sfDir = "/root/testdata/sf0.01"
+    val sfDir = sys.env.getOrElse("PROF_SF", "/root/testdata/sf0.01")
 
     if (what == "explain") {
       val dir = java.nio.file.Files.createTempDirectory("graft-explain").toString

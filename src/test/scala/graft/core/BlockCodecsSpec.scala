@@ -10,7 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BlockCodecsSpec extends AnyFunSuite {
 
-  private val codecs = Seq(InterpolativeCodec, OptPfdCodec, VarintCodec)
+  private val codecs = Seq(InterpolativeCodec, OptPfdCodec, VarintCodec,
+                           MixedCodec)
 
   private def roundTrip(codec: BlockCodec, values: Array[Int],
                         knownSum: Boolean): Unit = {
@@ -62,9 +63,21 @@ class BlockCodecsSpec extends AnyFunSuite {
     // values near the 2^31 boundary: only full blocks of the non-prefix-sum
     // codecs (interpolative prefix sums must stay < 2^31, same u32 contract
     // as the reference)
-    for (codec <- Seq(OptPfdCodec, VarintCodec)) {
+    for (codec <- Seq(OptPfdCodec, VarintCodec, MixedCodec)) {
       val big = Array.fill(128)(rnd.nextInt(Int.MaxValue))
       roundTrip(codec, big, knownSum = false)
+    }
+  }
+
+  test("mixed codec picks the smallest candidate per block") {
+    val rnd = new scala.util.Random(31337)
+    for (_ <- 0 until 20) {
+      val values = Array.fill(128)(rnd.nextInt(1 << (1 + rnd.nextInt(20))))
+      val sizes = Seq(OptPfdCodec, VarintCodec, InterpolativeCodec).map { c =>
+        val w = new ByteWriter(); c.encode(values, -1, 128, w); w.size
+      }
+      val w = new ByteWriter(); MixedCodec.encode(values, -1, 128, w)
+      assert(w.size == sizes.min + 1, s"mixed ${w.size} vs min ${sizes.min}+tag")
     }
   }
 
