@@ -143,15 +143,20 @@ object Bench {
     if (d.isNaN || d.isInfinite) "0" else f"$d%.3f"
 
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "800000").toInt
 
+    def stamp(msg: String): Unit =
+      System.err.println(f"[bench +${(System.nanoTime() - tStart) / 1e9}%.0fs] $msg")
     val spark = newSession(cpus)
+    stamp("session up; timing driver-contract queries")
     // driver-contract query timings
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = try { time(fn(spark, sfDir).count()) }
                      catch { case _: Throwable => (0L, -1.0) }
+      stamp(f"$name: $sec%.1f s")
       name -> sec
     }
 
@@ -199,6 +204,11 @@ object Bench {
       s""""warmup_docs_per_sec":${jnum(warm)},"scaling_efficiency":${jnum(efficiency)}}"""
     locally { val _ = warm0 } // first warmup result intentionally unused
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":$buildJson,"query_perf_us":$perfJson,"distributed_wand_qps":${jnum(distQps)}}""")
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":$buildJson,"query_perf_us":$perfJson,"distributed_wand_qps":${jnum(distQps)}}"""
+    // stdout line is the driver contract; the file copy survives pipelines
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), json + "\n")
+    catch { case _: Throwable => }
+    println(json)
   }
 }
