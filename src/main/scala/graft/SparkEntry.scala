@@ -218,6 +218,40 @@ object SparkEntry {
       }.toDF("index_type", "mismatches").orderBy("index_type")
     }
 
+    // --- O1-O4: space-time hybrid optimization round-trip (budget sweep)
+    m += "ii_hybrid_optimizer" -> { (s, dir) =>
+      import s.implicits._
+      val src = indexOf(s, dir)
+      val raw = Oracle.postings(s, dir)
+      val dict = s.sparkContext.broadcast(
+        src.dict.map(e => (e.termId, e.term)).collect().toMap)
+      def mismatches(idx: BuiltIndex): Long = {
+        val meta = idx.meta
+        val dec = idx.segments.flatMap { seg =>
+          val base = seg.shard.toLong * meta.shardSize
+          val shardDocs = math.min(meta.shardSize, meta.numDocs - base).toInt
+          val en = new BlockPostingList.Enumerator(seg.bytes, 0, shardDocs,
+                                                   MixedCodec)
+          (0 until seg.n).map { _ =>
+            val r = (dict.value(seg.termId), base + en.docId, en.freq.toLong)
+            en.next()
+            r
+          }
+        }.toDF("term", "doc_id", "tf")
+        dec.unionAll(raw).groupBy("term", "doc_id", "tf")
+          .agg(count(lit(1)).as("c")).filter($"c" =!= 2).count()
+      }
+      val space = graft.build.HybridOptimizer.optimize(s, src, 0L, 8)
+      val speed = graft.build.HybridOptimizer.optimize(s, src, Long.MaxValue / 2, 8)
+      val spaceBytes = space.segments.map(_.bytes.length.toLong).reduce(_ + _)
+      val speedBytes = speed.segments.map(_.bytes.length.toLong).reduce(_ + _)
+      Seq(("space_budget", mismatches(space)),
+          ("speed_budget", mismatches(speed)),
+          ("space_not_larger_than_speed",
+           if (spaceBytes <= speedBytes) 0L else 1L))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
+
     // ============ training-data pipeline operators over documents ========
     def documents(s: SparkSession, dir: String): DataFrame =
       s.read.parquet(s"$dir/documents.parquet")
@@ -380,6 +414,11 @@ object SparkEntry {
            "block_varint", "ef", "opt", "single", "uniform")
          .map(t => s"('$t', 0::BIGINT)").mkString(", ") +
        ") AS t(index_type, mismatches) ORDER BY index_type"),
+
+    "ii_hybrid_optimizer" ->
+      ("SELECT * FROM (VALUES ('space_budget', 0::BIGINT), " +
+       "('space_not_larger_than_speed', 0::BIGINT), " +
+       "('speed_budget', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
 
     "dedup_exact" ->
       """SELECT text_hash, dup_count, keeper_doc_id FROM (

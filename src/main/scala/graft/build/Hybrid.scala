@@ -1,0 +1,194 @@
+package graft.build
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.core._
+
+/** WSDM'15 space-time index optimizer, Spark-first (reference pipeline:
+  * /root/reference/optimal_hybrid_index.cpp — per-block space-time
+  * points, lambda frontier, external sort, greedy budget sweep,
+  * re-encode; and /root/reference/profile_decoding.cpp for the decode
+  * cost calibration).
+  *
+  * Per (block, component) unit the codec candidates are {OptPFD, varint,
+  * interpolative}; decode time uses a calibrated per-codec ns/block
+  * constant (the reference learns a per-block linear model — O2/O3; the
+  * constant model is the intercept-only special case and keeps the
+  * pipeline deterministic). Greedy: every unit starts at its fastest
+  * non-dominated point; frontier transitions (sorted by lambda =
+  * delta-time / bytes-saved, the reference's lower-convex-hull walk,
+  * optimal_hybrid_index.cpp:57-148) are taken globally
+  * cheapest-time-per-byte first until the space budget is met — the
+  * reference's stxxl external sort + sweep (:237-396) becomes a Spark
+  * range-sort + per-partition prefix sums.
+  */
+object HybridOptimizer {
+
+  /** O1: decode-time calibration, ns per 128-int block per codec tag.
+    * Seeded gap blocks over several magnitudes, 256 timed runs each
+    * after warmup (profile_decoding.cpp:13-41 protocol). */
+  def calibrate(runs: Int = 256): Map[Int, Double] = {
+    val rnd = new scala.util.Random(12345)
+    val blocks = (2 to 16 by 2).map(mag =>
+      Array.fill(128)(rnd.nextInt(1 << mag))).toArray
+    MixedCodec.candidates.indices.map { tag =>
+      val codec = MixedCodec.candidates(tag)
+      val encoded = blocks.map { b =>
+        val w = new ByteWriter(); codec.encode(b, -1, 128, w); w.result()
+      }
+      val out = new Array[Int](128)
+      // warmup
+      for (_ <- 0 until 64; e <- encoded) codec.decode(e, 0, out, -1, 128)
+      val t0 = System.nanoTime()
+      for (_ <- 0 until runs; e <- encoded) codec.decode(e, 0, out, -1, 128)
+      val ns = (System.nanoTime() - t0).toDouble / (runs * encoded.length)
+      tag -> ns
+    }.toMap
+  }
+
+  // one frontier transition: taking it moves `unit` from hull step k to
+  // k+1, paying deltaTimeNs to save `saving` bytes at cost rate lambda
+  final case class Transition(termId: Int, shard: Int, block: Int,
+                              comp: Int, step: Int, lambda: Double,
+                              saving: Long)
+  final case class Choice(termId: Int, shard: Int, block: Int,
+                          comp: Int, tag: Int)
+
+  /** Non-dominated (space desc, time asc) hull: (tag, space, time). */
+  private def hull(sizes: Array[Int], times: Array[Double])
+      : Array[(Int, Long, Double)] = {
+    val pts = sizes.indices.map(t => (t, sizes(t).toLong + 1L, times(t)))
+      .sortBy(p => (p._3, p._2)) // by time asc, then space
+    val nd = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    var minSpace = Long.MaxValue
+    pts.foreach { p =>
+      if (p._2 < minSpace) { nd += p; minSpace = p._2 }
+    }
+    // nd: time ascending AND space strictly descending = the frontier walk
+    // order (start = fastest); enforce convexity (non-decreasing lambda)
+    val h = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    nd.foreach { p =>
+      h += p
+      var ok = false
+      while (!ok && h.length >= 3) {
+        val a = h(h.length - 3); val b = h(h.length - 2); val c = h.last
+        val l1 = (b._3 - a._3) / (a._2 - b._2).toDouble
+        val l2 = (c._3 - b._3) / (b._2 - c._2).toDouble
+        if (l2 < l1) h.remove(h.length - 2) // b is above the hull
+        else ok = true
+      }
+    }
+    h.toArray
+  }
+
+  /** Re-encode a block index under a byte budget for full-block payloads.
+    * budget >= sum of min sizes -> pure speed where affordable;
+    * budget <= 0 -> pure space (every unit at its smallest point). */
+  def optimize(spark: SparkSession, index: BuiltIndex, budgetBytes: Long,
+               partitions: Int = 32): BuiltIndex = {
+    import spark.implicits._
+    require(IndexBuilder.BlockFamilies(index.meta.indexType),
+            "hybrid optimization expects a block index")
+    val srcCodec = IndexBuilder.codecFor(index.meta.indexType)
+    val times = calibrate()
+    val bcTimes = spark.sparkContext.broadcast(times)
+    val fastestTag = times.minBy(_._2)._1
+
+    // per-unit candidate sizes -> hull transitions
+    val units = index.segments.flatMap { s =>
+      BlockPostingList.blockData(s.bytes, 0, srcCodec).iterator
+        .filter(_.size == 128) // partial blocks stay interpolative, untouched
+        .flatMap { bd =>
+          Seq(0, 1).map { comp =>
+            val (vals, sum) =
+              if (comp == 0) (bd.docGaps, bd.docGapUniverse)
+              else (bd.freqsMinus1, -1)
+            val sizes = MixedCodec.candidates.map { c =>
+              val w = new ByteWriter(); c.encode(vals, sum, 128, w); w.size
+            }
+            (s.termId, s.shard, bd.index, comp, sizes)
+          }
+        }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val timesLocal = times
+    val startAndTransitions = units.map { case (termId, shard, block, comp, sizes) =>
+      val h = hull(sizes, MixedCodec.candidates.indices
+        .map(timesLocal). toArray)
+      val trans = (0 until h.length - 1).map { k =>
+        Transition(termId, shard, block, comp, k,
+                   (h(k + 1)._3 - h(k)._3) / (h(k)._2 - h(k + 1)._2).toDouble,
+                   h(k)._2 - h(k + 1)._2)
+      }.toArray
+      val tags = h.map(_._1)
+      (termId, shard, block, comp, h(0)._2, tags, trans)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val startSpace = startAndTransitions.map(_._5).reduce(_ + _)
+    val needed = startSpace - budgetBytes
+
+    val chosenSteps: Dataset[(Int, Int, Int, Int, Int)] =
+      if (needed <= 0) spark.emptyDataset[(Int, Int, Int, Int, Int)]
+      else {
+        // global lambda-ascending sweep with scalable prefix sums
+        val trans = startAndTransitions.flatMap(_._7)
+          .repartitionByRange(partitions, $"lambda", $"termId", $"shard",
+                              $"block", $"comp", $"step")
+          .sortWithinPartitions($"lambda", $"termId", $"shard", $"block",
+                                $"comp", $"step")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val partSums = trans.mapPartitions(it =>
+          Iterator.single(it.map(_.saving).sum)).collect()
+        val offsets = partSums.scanLeft(0L)(_ + _)
+        val bcOffsets = spark.sparkContext.broadcast(offsets)
+        val neededL = needed
+        trans.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var cum = bcOffsets.value(pid)
+          it.flatMap { t =>
+            val take = cum < neededL
+            cum += t.saving
+            if (take) Some((t.termId, t.shard, t.block, t.comp, t.step + 1))
+            else None
+          }
+        }
+      }
+
+    // per-unit final step = max selected (transitions form a prefix)
+    val tagsDf = startAndTransitions.map {
+        case (termId, shard, block, comp, _, tags, _) =>
+          ((termId, shard, block, comp), tags)
+      }.toDF("key", "tags")
+    val stepsDf = chosenSteps.map(c => ((c._1, c._2, c._3, c._4), c._5))
+      .groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).max))
+      .toDF("key", "step")
+    val finalTags = tagsDf
+      .joinWith(stepsDf, tagsDf("key") === stepsDf("key"), "left_outer")
+      .map { case (l, r) =>
+        val (key, tags) = (l.getStruct(0), l.getSeq[Int](1))
+        val step = if (r == null) 0 else r.getInt(1)
+        Choice(key.getInt(0), key.getInt(1), key.getInt(2), key.getInt(3),
+               tags(step))
+      }
+
+    // re-encode per segment with the chosen per-unit tags
+    val metaL = index.meta
+    val fastest = fastestTag
+    val newSegments = index.segments
+      .groupByKey(s => (s.termId, s.shard))
+      .cogroup(finalTags.groupByKey(c => (c.termId, c.shard))) {
+        case ((_, _), segIt, choiceIt) =>
+          val choices = choiceIt.map(c => ((c.block, c.comp), c.tag)).toMap
+          segIt.map { s =>
+            val blocks = BlockPostingList.blockData(s.bytes, 0, srcCodec)
+            val docTags = blocks.map(bd => choices.getOrElse((bd.index, 0), fastest))
+            val freqTags = blocks.map(bd => choices.getOrElse((bd.index, 1), fastest))
+            val out = new ByteWriter(s.bytes.length + 16)
+            BlockPostingList.writeMixed(out, s.n, blocks, docTags, freqTags)
+            s.copy(bytes = out.result())
+          }
+      }
+
+    BuiltIndex(metaL.copy(indexType = "block_mixed"), index.dict,
+               newSegments, index.norms)
+  }
+}

@@ -555,8 +555,21 @@ object VarintCodec extends BlockCodec {
   * partial blocks are always interpolative there too). */
 object MixedCodec extends BlockCodec {
   def name = "mixed"
-  private val candidates: Array[BlockCodec] =
+  val candidates: Array[BlockCodec] =
     Array(OptPfdCodec, VarintCodec, InterpolativeCodec)
+  final val OptPfdTag = 0
+  final val VarintTag = 1
+  final val InterpolativeTag = 2
+
+  /** Encode a full block with an explicitly chosen codec tag (the
+    * space-time optimizer's output path); partial blocks are tagless
+    * interpolative like everywhere else. */
+  def encodeWith(tag: Int, in: Array[Int], sumOfValues: Int, n: Int,
+                 out: ByteWriter): Unit = {
+    if (n < blockSize) { InterpolativeCodec.encode(in, sumOfValues, n, out); return }
+    out.putByte(tag)
+    candidates(tag).encode(in, sumOfValues, n, out)
+  }
 
   def encode(in: Array[Int], sumOfValues: Int, n: Int, out: ByteWriter): Unit = {
     require(n <= blockSize)

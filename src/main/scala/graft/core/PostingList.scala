@@ -72,6 +72,66 @@ object BlockPostingList {
     out.result()
   }
 
+  /** Raw per-block view: (index, size, docGapUniverse, docGaps, freqsMinus1)
+    * — the get_blocks/block_data access path of the reference
+    * (block_posting_list.hpp:213-284), used for re-compression. */
+  final case class BlockData(index: Int, size: Int, docGapUniverse: Int,
+                             docGaps: Array[Int], freqsMinus1: Array[Int],
+                             blockMaxDoc: Int)
+
+  def blockData(data: Array[Byte], startOffset: Int,
+                codec: BlockCodec): Array[BlockData] = {
+    val packed = TightVByte.decode(data, startOffset)
+    val n = TightVByte.value(packed)
+    val base = TightVByte.offset(packed)
+    val bs = codec.blockSize
+    val blocks = (n + bs - 1) / bs
+    val blockMaxsOff = base
+    val blocksDataOff = blockMaxsOff + 4 * blocks + 4 * (blocks - 1)
+    val out = new Array[BlockData](blocks)
+    var ptr = blocksDataOff
+    var b = 0
+    while (b < blocks) {
+      val curSize = if ((b + 1) * bs <= n) bs else n % bs
+      val curBase = (if (b != 0) ByteIo.getIntLE(data, blockMaxsOff + 4 * (b - 1)) else -1) + 1
+      val blockMax = ByteIo.getIntLE(data, blockMaxsOff + 4 * b)
+      val gapUniverse = blockMax - curBase - (curSize - 1)
+      val gaps = new Array[Int](curSize)
+      val freqs = new Array[Int](curSize)
+      ptr = codec.decode(data, ptr, gaps, gapUniverse, curSize)
+      ptr = codec.decode(data, ptr, freqs, -1, curSize)
+      out(b) = BlockData(b, curSize, gapUniverse, gaps, freqs, blockMax)
+      b += 1
+    }
+    out
+  }
+
+  /** Re-assemble a list from per-block codec choices into the mixed
+    * (tag-byte) format readable by MixedCodec — the write_blocks path
+    * (block_posting_list.hpp:55-82). `docTags`/`freqTags` index into
+    * MixedCodec's candidate table; partial blocks stay interpolative. */
+  def writeMixed(out: ByteWriter, n: Int, blocksIn: Array[BlockData],
+                 docTags: Array[Int], freqTags: Array[Int]): Unit = {
+    TightVByte.encode(n, out)
+    val blocks = blocksIn.length
+    val beginBlockMaxs = out.size
+    out.reserve(4 * blocks)
+    val beginBlockEndpoints = out.size
+    if (blocks > 1) out.reserve(4 * (blocks - 1))
+    val beginBlocks = out.size
+    var b = 0
+    while (b < blocks) {
+      val bd = blocksIn(b)
+      out.patchIntLE(beginBlockMaxs + 4 * b, bd.blockMaxDoc)
+      MixedCodec.encodeWith(docTags(b), bd.docGaps, bd.docGapUniverse,
+                            bd.size, out)
+      MixedCodec.encodeWith(freqTags(b), bd.freqsMinus1, -1, bd.size, out)
+      if (b != blocks - 1)
+        out.patchIntLE(beginBlockEndpoints + 4 * b, out.size - beginBlocks)
+      b += 1
+    }
+  }
+
   final class Enumerator(data: Array[Byte], startOffset: Int, universe: Int,
                          codec: BlockCodec) extends PostingEnum {
     private val bs = codec.blockSize

@@ -1,0 +1,98 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.build._
+import graft.core._
+import graft.ingest._
+import graft.query._
+
+class HybridSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def sourceIndex(): BuiltIndex = {
+    val corpus = Corpus.fromDocumentsTable(spark, sfDir)
+    val docs = DocIds.assign(spark, corpus, 4)
+    IndexBuilder.build(spark, docs, "block_optpfor", 1L << 20, 4)
+  }
+
+  private def totalBytes(idx: BuiltIndex): Long =
+    idx.segments.collect().map(_.bytes.length.toLong).sum
+
+  private def decodeAll(idx: BuiltIndex): Set[(Int, Int, Int)] = {
+    val codec = IndexBuilder.codecFor(idx.meta.indexType)
+    idx.segments.collect().flatMap { s =>
+      val e = new BlockPostingList.Enumerator(
+        s.bytes, 0, math.min(idx.meta.shardSize, idx.meta.numDocs).toInt, codec)
+      (0 until s.n).map { _ =>
+        val r = (s.termId, e.docId, e.freq)
+        e.next()
+        r
+      }
+    }.toSet
+  }
+
+  test("hybrid optimization round-trips at every budget and respects it") {
+    val src = sourceIndex()
+    src.segments.persist()
+    val expected = decodeAll(src)
+
+    val pureSpace = HybridOptimizer.optimize(spark, src, 0L, 4)
+    val sSpace = totalBytes(pureSpace)
+    assert(decodeAll(pureSpace) == expected, "pure-space round trip")
+
+    val pureSpeed = HybridOptimizer.optimize(spark, src, Long.MaxValue / 2, 4)
+    val sSpeed = totalBytes(pureSpeed)
+    assert(decodeAll(pureSpeed) == expected, "pure-speed round trip")
+
+    assert(sSpace <= sSpeed, s"space-optimal $sSpace > speed-optimal $sSpeed")
+
+    // a budget between the extremes lands between them and round-trips
+    val mid = (sSpace + sSpeed) / 2
+    val midIdx = HybridOptimizer.optimize(spark, src, mid, 4)
+    val sMid = totalBytes(midIdx)
+    assert(decodeAll(midIdx) == expected, "mid-budget round trip")
+    assert(sMid <= sSpeed && sMid >= sSpace - 64,
+           s"mid $sMid not within [$sSpace, $sSpeed]")
+
+    // queries through the optimized index are identical
+    val queries = Seq(Query(0, Array("join", "hash")),
+                      Query(1, Array("the", "dup")))
+    val a = Engine.topK(spark, src, queries, "ranked_or", 10).collect()
+      .sortBy(h => (h.queryId, h.rank)).map(h => (h.queryId, h.docId, h.score)).toSeq
+    val b = Engine.topK(spark, midIdx, queries, "ranked_or", 10).collect()
+      .sortBy(h => (h.queryId, h.rank)).map(h => (h.queryId, h.docId, h.score)).toSeq
+    assert(a == b)
+  }
+
+  test("pure-space hybrid equals the min-size mixed choice per unit") {
+    val src = sourceIndex()
+    val pureSpace = HybridOptimizer.optimize(spark, src, 0L, 4)
+    // re-encoding every list with MixedCodec (which always picks min
+    // size) must give the same total payload size
+    val srcCodec = IndexBuilder.codecFor(src.meta.indexType)
+    val mixedBytes = src.segments.collect().map { s =>
+      val blocks = BlockPostingList.blockData(s.bytes, 0, srcCodec)
+      var docs = 0
+      val all = new scala.collection.mutable.ArrayBuilder.ofInt
+      val fr = new scala.collection.mutable.ArrayBuilder.ofInt
+      var last = -1
+      blocks.foreach { bd =>
+        var i = 0
+        var cur = (if (bd.index == 0) -1
+                   else last)
+        bd.docGaps.take(bd.size).foreach { g =>
+          cur = cur + g + 1
+          all += cur
+          i += 1
+        }
+        last = bd.blockMaxDoc
+        bd.freqsMinus1.take(bd.size).foreach(f => fr += f + 1)
+        docs += bd.size
+      }
+      BlockPostingList.encode(MixedCodec, all.result(), fr.result()).length.toLong
+    }.sum
+    assert(totalBytes(pureSpace) == mixedBytes,
+           s"hybrid@0 ${totalBytes(pureSpace)} != mixed $mixedBytes")
+  }
+}
