@@ -132,8 +132,11 @@ object BlockPostingList {
     }
   }
 
+  /** Per-list block access counters, layout [2*b] = docs-block decodes,
+    * [2*b+1] = freqs-block decodes (reference block_profiler.hpp:9-63). */
   final class Enumerator(data: Array[Byte], startOffset: Int, universe: Int,
-                         codec: BlockCodec) extends PostingEnum {
+                         codec: BlockCodec,
+                         profile: Array[Long] = null) extends PostingEnum {
     private val bs = codec.blockSize
     private var mBase = 0
     private var nVal = 0
@@ -233,12 +236,14 @@ object BlockPostingList {
       posInBlock = 0
       curDocId = docsBuf(0)
       freqsDecoded = false
+      if (profile != null) profile(2 * block) += 1
     }
 
     private def decodeFreqsBlock(): Unit = {
       val after = codec.decode(data, freqsOffset, freqsBuf, -1, curBlockSize)
       if (curBlock == blocks - 1) endOffset = after
       freqsDecoded = true
+      if (profile != null) profile(2 * curBlock + 1) += 1
     }
   }
 }

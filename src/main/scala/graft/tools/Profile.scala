@@ -30,6 +30,55 @@ object Profile {
       return
     }
 
+    if (what == "blocks") {
+      // Q12 analog: replay the query set per op with block-access
+      // profiling; pruning quality = fraction of blocks decoded vs the
+      // exhaustive oracle
+      val z = CollectionGen.zipf(numDocs = 10000, vocab = 50000)
+      val coll = z.coll
+      val codec: BlockCodec = OptPfdCodec
+      val enc = coll.termDocs.indices.map(ti =>
+        BlockPostingList.encode(codec, coll.termDocs(ti), coll.termFreqs(ti))).toArray
+      val maxW = coll.termDocs.indices.map { ti =>
+        coll.termDocs(ti).indices.map(i =>
+          Bm25.docTermWeight(coll.termFreqs(ti)(i).toLong,
+                             coll.normLens(coll.termDocs(ti)(i)))).max
+      }.toArray
+      val blockMax = coll.termDocs.indices.map { ti =>
+        val docs = coll.termDocs(ti); val tfs = coll.termFreqs(ti)
+        Array.tabulate((docs.length + 127) / 128) { b =>
+          (b * 128 until math.min(docs.length, (b + 1) * 128)).map(i =>
+            Bm25.docTermWeight(tfs(i).toLong, coll.normLens(docs(i)))).max
+        }
+      }.toArray
+      for (op <- Seq("ranked_or", "wand", "maxscore", "block_max_wand")) {
+        val counters = coll.termDocs.indices.map(ti =>
+          new Array[Long](2 * ((coll.termDocs(ti).length + 127) / 128))).toArray
+        z.queries.foreach { q =>
+          val lists = Daat.queryFreqs(q).map { qt =>
+            val en = new BlockPostingList.Enumerator(enc(qt.termId), 0,
+              coll.numDocs, codec, counters(qt.termId))
+            val qw = Bm25.queryTermWeight(qt.qtf.toLong,
+              coll.termDocs(qt.termId).length.toLong, coll.numDocs.toLong)
+            new Daat.ScoredList(en, qw, qw * maxW(qt.termId), en,
+                                blockMax(qt.termId))
+          }
+          op match {
+            case "ranked_or" => Daat.rankedOr(lists, coll.normLens, coll.numDocs, 10)
+            case "wand" => Daat.wand(lists, coll.normLens, coll.numDocs, 10)
+            case "maxscore" => Daat.maxscore(lists, coll.normLens, coll.numDocs, 10)
+            case "block_max_wand" => Daat.blockMaxWand(lists, coll.normLens, coll.numDocs, 10)
+          }
+        }
+        val docsDecodes = counters.map(c =>
+          (0 until c.length / 2).map(b => c(2 * b)).sum).sum
+        val freqDecodes = counters.map(c =>
+          (0 until c.length / 2).map(b => c(2 * b + 1)).sum).sum
+        println(f"[prof] $op%-15s docs-block decodes=$docsDecodes%9d freq-block decodes=$freqDecodes%9d")
+      }
+      return
+    }
+
     if (what == "perftest") {
       val perf = graft.Bench.opPerfTestPublic()
       perf.toSeq.sortBy(_._1).foreach { case (op, st) =>
