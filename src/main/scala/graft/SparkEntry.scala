@@ -241,8 +241,9 @@ object SparkEntry {
         dec.unionAll(raw).groupBy("term", "doc_id", "tf")
           .agg(count(lit(1)).as("c")).filter($"c" =!= 2).count()
       }
-      val space = graft.build.HybridOptimizer.optimize(s, src, 0L, 8)
-      val speed = graft.build.HybridOptimizer.optimize(s, src, Long.MaxValue / 2, 8)
+      val cal = graft.build.HybridOptimizer.calibrate()
+      val space = graft.build.HybridOptimizer.optimize(s, src, 0L, 8, cal)
+      val speed = graft.build.HybridOptimizer.optimize(s, src, Long.MaxValue / 2, 8, cal)
       val spaceBytes = space.segments.map(_.bytes.length.toLong).reduce(_ + _)
       val speedBytes = speed.segments.map(_.bytes.length.toLong).reduce(_ + _)
       Seq(("space_budget", mismatches(space)),

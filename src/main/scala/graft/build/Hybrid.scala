@@ -84,12 +84,16 @@ object HybridOptimizer {
     * budget >= sum of min sizes -> pure speed where affordable;
     * budget <= 0 -> pure space (every unit at its smallest point). */
   def optimize(spark: SparkSession, index: BuiltIndex, budgetBytes: Long,
-               partitions: Int = 32): BuiltIndex = {
+               partitions: Int = 32,
+               calibration: Map[Int, Double] = null): BuiltIndex = {
     import spark.implicits._
     require(IndexBuilder.BlockFamilies(index.meta.indexType),
             "hybrid optimization expects a block index")
     val srcCodec = IndexBuilder.codecFor(index.meta.indexType)
-    val times = calibrate()
+    // calibration is an explicit input so comparative runs (and resumed
+    // builds) are deterministic; timing it inline would let measurement
+    // noise flip the per-unit frontiers between runs
+    val times = if (calibration != null) calibration else calibrate()
     val bcTimes = spark.sparkContext.broadcast(times)
     val fastestTag = times.minBy(_._2)._1
 

@@ -36,12 +36,15 @@ class HybridSpec extends AnyFunSuite {
     val src = sourceIndex()
     src.segments.persist()
     val expected = decodeAll(src)
+    // fixed calibration so the three runs share identical frontiers
+    // (timing it per run lets noise flip the fastest-codec start points)
+    val cal = Map(0 -> 600.0, 1 -> 300.0, 2 -> 3000.0)
 
-    val pureSpace = HybridOptimizer.optimize(spark, src, 0L, 4)
+    val pureSpace = HybridOptimizer.optimize(spark, src, 0L, 4, cal)
     val sSpace = totalBytes(pureSpace)
     assert(decodeAll(pureSpace) == expected, "pure-space round trip")
 
-    val pureSpeed = HybridOptimizer.optimize(spark, src, Long.MaxValue / 2, 4)
+    val pureSpeed = HybridOptimizer.optimize(spark, src, Long.MaxValue / 2, 4, cal)
     val sSpeed = totalBytes(pureSpeed)
     assert(decodeAll(pureSpeed) == expected, "pure-speed round trip")
 
@@ -49,7 +52,7 @@ class HybridSpec extends AnyFunSuite {
 
     // a budget between the extremes lands between them and round-trips
     val mid = (sSpace + sSpeed) / 2
-    val midIdx = HybridOptimizer.optimize(spark, src, mid, 4)
+    val midIdx = HybridOptimizer.optimize(spark, src, mid, 4, cal)
     val sMid = totalBytes(midIdx)
     assert(decodeAll(midIdx) == expected, "mid-budget round trip")
     assert(sMid <= sSpeed && sMid >= sSpace - 64,
