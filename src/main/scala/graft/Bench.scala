@@ -155,14 +155,18 @@ object Bench {
     // driver-contract query timings
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = try { time(fn(spark, sfDir).count()) }
-                     catch { case _: Throwable => (0L, -1.0) }
+                     catch { case scala.util.control.NonFatal(e) =>
+                       stamp(s"$name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+                       (0L, -1.0) }
       stamp(f"$name: $sec%.1f s")
       name -> sec
     }
 
     // ds2i-protocol query latency on the in-memory Zipf collection
     val perf = try opPerfTest()
-               catch { case _: Throwable => Map.empty[String, Map[String, Double]] }
+               catch { case scala.util.control.NonFatal(e) =>
+                 stamp(s"opPerfTest FAILED: ${e.getMessage}")
+                 Map.empty[String, Map[String, Double]] }
 
     // distributed throughput: all 16 fixed queries, one job
     val distQps = try {
@@ -171,7 +175,8 @@ object Bench {
         Engine.topK(spark, idx, SparkEntry.engineQueries, "wand", 10).count()
       }
       SparkEntry.engineQueries.length / sec
-    } catch { case _: Throwable => -1.0 }
+    } catch { case scala.util.control.NonFatal(e) =>
+      stamp(s"distributed qps FAILED: ${e.getMessage}"); -1.0 }
     spark.stop()
 
     // scaling evidence: same synthetic build at N and 4N cores,

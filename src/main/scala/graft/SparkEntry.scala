@@ -88,11 +88,9 @@ object SparkEntry {
     import spark.implicits._
     val idx = indexOf(spark, sfDir, indexType)
     val meta = idx.meta
-    // dictionary broadcast: verification path, query-term sized at scale
-    val termById = spark.sparkContext.broadcast(
-      idx.dict.map(e => (e.termId, e.term)).collect().toMap)
-    idx.segments.flatMap { s =>
-      val term = termById.value(s.termId)
+    // label decoded postings with term strings via a termId join — the
+    // dictionary never reaches the driver (at web scale it is 10^8+ terms)
+    val byId = idx.segments.flatMap { s =>
       val base = s.shard.toLong * meta.shardSize
       val shardDocs = math.min(meta.shardSize, meta.numDocs - base).toInt
       val en: PostingEnum =
@@ -104,11 +102,14 @@ object SparkEntry {
                                        EfFamily.byName(meta.indexType),
                                        shardDocs)
       (0 until s.n).map { _ =>
-        val r = (term, base + en.docId, en.freq.toLong)
+        val r = (s.termId, base + en.docId, en.freq.toLong)
         en.next()
         r
       }
-    }.toDF("term", "doc_id", "tf")
+    }.toDF("term_id", "doc_id", "tf")
+    byId.join(idx.dict.toDF().select($"termId".as("term_id"), $"term"),
+              "term_id")
+      .select($"term", $"doc_id", $"tf")
   }
 
   private def rankedDf(spark: SparkSession, sfDir: String, op: String,
@@ -223,8 +224,6 @@ object SparkEntry {
       import s.implicits._
       val src = indexOf(s, dir)
       val raw = Oracle.postings(s, dir)
-      val dict = s.sparkContext.broadcast(
-        src.dict.map(e => (e.termId, e.term)).collect().toMap)
       def mismatches(idx: BuiltIndex): Long = {
         val meta = idx.meta
         val dec = idx.segments.flatMap { seg =>
@@ -233,24 +232,31 @@ object SparkEntry {
           val en = new BlockPostingList.Enumerator(seg.bytes, 0, shardDocs,
                                                    MixedCodec)
           (0 until seg.n).map { _ =>
-            val r = (dict.value(seg.termId), base + en.docId, en.freq.toLong)
+            val r = (seg.termId, base + en.docId, en.freq.toLong)
             en.next()
             r
           }
-        }.toDF("term", "doc_id", "tf")
+        }.toDF("term_id", "doc_id", "tf")
+          .join(idx.dict.toDF().select($"termId".as("term_id"), $"term"),
+                "term_id")
+          .select($"term", $"doc_id", $"tf")
         dec.unionAll(raw).groupBy("term", "doc_id", "tf")
           .agg(count(lit(1)).as("c")).filter($"c" =!= 2).count()
       }
       val cal = graft.build.HybridOptimizer.calibrate()
+      // optimize() returns a persisted, materialized index; the probes
+      // below each consume it twice without re-running the sweep
       val space = graft.build.HybridOptimizer.optimize(s, src, 0L, 8, cal)
       val speed = graft.build.HybridOptimizer.optimize(s, src, Long.MaxValue / 2, 8, cal)
       val spaceBytes = space.segments.map(_.bytes.length.toLong).reduce(_ + _)
       val speedBytes = speed.segments.map(_.bytes.length.toLong).reduce(_ + _)
-      Seq(("space_budget", mismatches(space)),
-          ("speed_budget", mismatches(speed)),
-          ("space_not_larger_than_speed",
-           if (spaceBytes <= speedBytes) 0L else 1L))
-        .toDF("probe", "mismatches").orderBy("probe")
+      val rows = Seq(("space_budget", mismatches(space)),
+                     ("speed_budget", mismatches(speed)),
+                     ("space_not_larger_than_speed",
+                      if (spaceBytes <= speedBytes) 0L else 1L))
+      space.segments.unpersist()
+      speed.segments.unpersist()
+      rows.toDF("probe", "mismatches").orderBy("probe")
     }
 
     // ============ training-data pipeline operators over documents ========

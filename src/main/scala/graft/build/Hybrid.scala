@@ -82,7 +82,15 @@ object HybridOptimizer {
 
   /** Re-encode a block index under a byte budget for full-block payloads.
     * budget >= sum of min sizes -> pure speed where affordable;
-    * budget <= 0 -> pure space (every unit at its smallest point). */
+    * budget <= 0 -> pure space (every unit at its smallest point).
+    *
+    * The budget covers FULL-BLOCK payload bytes plus a 1-byte codec tag
+    * per (block, component) unit — the quantity the sweep can actually
+    * trade. It is NOT an on-disk size: list headers (vbyte n, block maxs,
+    * endpoints) and partial trailing blocks (always interpolative) are
+    * fixed costs excluded from both `budgetBytes` and the internal
+    * startSpace sum. On-disk bytes ~= budget + sum over lists of
+    * (vbyte(n) + 8*blocks - 4) + partial-block payloads. */
   def optimize(spark: SparkSession, index: BuiltIndex, budgetBytes: Long,
                partitions: Int = 32,
                calibration: Map[Int, Double] = null): BuiltIndex = {
@@ -130,6 +138,7 @@ object HybridOptimizer {
     val startSpace = startAndTransitions.map(_._5).reduce(_ + _)
     val needed = startSpace - budgetBytes
 
+    var transHandle: Dataset[Transition] = null
     val chosenSteps: Dataset[(Int, Int, Int, Int, Int)] =
       if (needed <= 0) spark.emptyDataset[(Int, Int, Int, Int, Int)]
       else {
@@ -140,6 +149,7 @@ object HybridOptimizer {
           .sortWithinPartitions($"lambda", $"termId", $"shard", $"block",
                                 $"comp", $"step")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        transHandle = trans
         val partSums = trans.mapPartitions(it =>
           Iterator.single(it.map(_.saving).sum)).collect()
         val offsets = partSums.scanLeft(0L)(_ + _)
@@ -192,7 +202,17 @@ object HybridOptimizer {
           }
       }
 
+    // materialize the re-encoded index once, then drop the sweep
+    // intermediates — callers probe the result repeatedly (byte sums,
+    // decode verification) and must not re-run the hull/sort/sweep chain
+    val result = newSegments
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    units.unpersist()
+    startAndTransitions.unpersist()
+    if (transHandle != null) transHandle.unpersist()
+
     BuiltIndex(metaL.copy(indexType = "block_mixed"), index.dict,
-               newSegments, index.norms)
+               result, index.norms)
   }
 }

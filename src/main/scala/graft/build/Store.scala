@@ -110,6 +110,15 @@ object IndexStore {
     val missing = allShards -- done
 
     if (missing.nonEmpty) {
+      // crash-safety: a previous attempt may have appended segment/norm
+      // rows for a shard and died before writing its manifest; appending
+      // again would duplicate posting lists. Remove any unmanifested
+      // shard data before rebuilding.
+      val f = fs(spark, dir)
+      missing.foreach { shard =>
+        f.delete(new Path(s"$dir/segments/shard=$shard"), true)
+        f.delete(new Path(s"$dir/norms/shard=$shard"), true)
+      }
       val idx = IndexBuilder.build(spark, docs, indexType, shardSize,
                                    buildPartitions,
                                    onlyShards = Some(missing))

@@ -21,10 +21,13 @@ object Dedup {
       .filter(col("dup_count") >= 2)
       .orderBy("text_hash")
 
-  /** Token k-shingles of a document, distinct. */
+  /** Token k-shingles of a document, distinct. Documents with fewer than
+    * k tokens have NO shingles (matches the oracle's n-gram definition,
+    * generate_series(1, len-k+1) yielding nothing) — returning a partial
+    * shingle would pair all short/empty docs through "". */
   def shingles(text: String, k: Int): Array[String] = {
     val toks = Tokenize.tokens(text)
-    if (toks.length < k) Array(toks.mkString(" "))
+    if (toks.length < k) Array.empty
     else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
       .distinct.toArray
   }
@@ -119,10 +122,13 @@ object Dedup {
                  threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val ps = spark.sparkContext.broadcast(perms(numPerms, seed))
+    // docs with no shingles have no MinHash signature (an all-MaxValue
+    // sentinel signature would bucket every short doc together)
     val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .flatMap { case (id, text) =>
         val fps = shingles(text, k).map(fp64)
-        (id, minhashSignature(fps, ps.value))
+        if (fps.isEmpty) None
+        else Some((id, minhashSignature(fps, ps.value)))
       }.toDF("doc_id", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = numPerms / rowsPerBand

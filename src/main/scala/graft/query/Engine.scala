@@ -124,17 +124,16 @@ object Engine {
             op: String): Dataset[CountResult] = {
     import spark.implicits._
     val rows = shardResults(spark, index, queries, op, 0, Bm25)
-    val agg = rows.groupByKey(_._1).mapGroups { (qid, it) =>
+    // one distributed pass; the per-query counts are tiny (one row per
+    // query), so the zero-fill for queries no shard touched happens
+    // driver-side instead of a second evaluation of the shard cogroup
+    val got = rows.groupByKey(_._1).mapGroups { (qid, it) =>
       CountResult(qid, it.map(_._4).sum)
-    }
-    // queries whose terms are entirely absent from the dictionary still
-    // produce one zero row per shard touched; queries never touched
-    // (no shard had any segment) are restored here
-    val qids = queries.map(_.queryId)
-    val missing = spark.createDataset(qids).toDF("queryId")
-      .join(agg.toDF(), Seq("queryId"), "left_anti")
-      .select($"queryId").as[Int].map(CountResult(_, 0L))
-    agg.union(missing)
+    }.collect()
+    val gotIds = got.map(_.queryId).toSet
+    val all = got.toSeq ++
+      queries.map(_.queryId).filterNot(gotIds).map(CountResult(_, 0L))
+    spark.createDataset(all)
   }
 
   private def shardResults(spark: SparkSession, index: BuiltIndex,

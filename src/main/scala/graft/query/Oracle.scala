@@ -20,15 +20,29 @@ object Oracle {
       .filter(col("term") =!= "")
   }
 
-  /** (term, doc_id, tf) postings. */
-  def postings(spark: SparkSession, sfDir: String): DataFrame =
-    tokens(spark, sfDir).groupBy("term", "doc_id")
-      .agg(count(lit(1)).cast("long").as("tf"))
+  // The tokenize+groupBy scan feeds every oracle consumer (bm25TopK's
+  // postings/lens/df, the 8-type round-trip compare, the hybrid gate);
+  // without a persist each consumer re-runs it from the parquet scan —
+  // measured >linear blowup at sf0.1 (144.7 s for one gate). One
+  // materialized copy per sfDir serves them all.
+  private val postingsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** (doc_id, len) document lengths. */
+  /** (term, doc_id, tf) postings — persisted per sfDir. */
+  def postings(spark: SparkSession, sfDir: String): DataFrame =
+    postingsCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$sfDir", {
+      val p = tokens(spark, sfDir).groupBy("term", "doc_id")
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })
+
+  /** (doc_id, len) document lengths, derived from the cached postings
+    * (len = sum of tf). */
   def docLens(spark: SparkSession, sfDir: String): DataFrame =
-    tokens(spark, sfDir).groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("len"))
+    postings(spark, sfDir).groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("len"))
 
   /** Declarative double-precision BM25 top-k, quantized to
     * floor(score*100) so Spark and DuckDB rank identically despite
