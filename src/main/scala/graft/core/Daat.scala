@@ -90,8 +90,12 @@ object Daat {
   }
 
   /** Count of documents containing ANY term (k-way min merge,
-    * queries.hpp:88-131). */
-  def orCount(enums: Array[PostingEnum], numDocs: Int): Long = {
+    * queries.hpp:88-131). `touchFreqs` replicates the
+    * or_query<with_freqs> template flag: decode each matching list's
+    * frequency before advancing, so the freq blocks' decode cost is
+    * measured in the perf protocol. */
+  def orCount(enums: Array[PostingEnum], numDocs: Int,
+              touchFreqs: Boolean = false): Long = {
     if (enums.isEmpty) return 0L
     var results = 0L
     var curDoc = Int.MaxValue
@@ -102,7 +106,10 @@ object Daat {
       var nextDoc = numDocs
       i = 0
       while (i < enums.length) {
-        if (enums(i).docId == curDoc) enums(i).next()
+        if (enums(i).docId == curDoc) {
+          if (touchFreqs) enums(i).freq
+          enums(i).next()
+        }
         if (enums(i).docId < nextDoc) nextDoc = enums(i).docId
         i += 1
       }
@@ -339,12 +346,23 @@ object Daat {
     sortByDocId()
 
     // block index containing the first doc >= lb in list l (shallow:
-    // scans block maxima only, no decode)
+    // scans block maxima only, no decode). Cached per list across pivot
+    // iterations: enumerators only move forward and block maxima are
+    // static, so for a non-decreasing lower bound the scan resumes where
+    // the previous one stopped instead of restarting at currentBlock —
+    // without this, long lists pay an O(blocks) rescan per pivot and BMW
+    // loses to plain WAND even where block pruning wins.
+    val cachedBlock = new Array[Int](lists.length)
+    val cachedLb = new Array[Int](lists.length)
     def shallowBlock(l: ScoredList, lb: Int): Int = {
       val en = l.blockEn
+      val idx = l.openIdx
       var b = en.currentBlock
+      if (lb >= cachedLb(idx) && cachedBlock(idx) > b) b = cachedBlock(idx)
       val nb = en.numBlocks
       while (b < nb && en.blockMax(b) < lb) b += 1
+      cachedBlock(idx) = b
+      cachedLb(idx) = lb
       b
     }
 
