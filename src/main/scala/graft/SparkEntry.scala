@@ -206,6 +206,37 @@ object SparkEntry {
       }.toDF("op", "mismatched").orderBy("op")
     }
 
+    // --- kernel float32 ranking vs the SQL-verified score surface. Every
+    // kernel ranked_or top-10 doc must score within ONE quantum of the
+    // oracle's own 10th-best quantized score: if a kernel doc's double
+    // score were below s10-2eps, >=10 docs would out-score it in float32
+    // too (float error eps << 0.005 per score), contradicting its top-10
+    // membership. With ii_pruning_agreement (wand==maxscore==bmw==
+    // ranked_or) this makes all pruning kernels transitively DuckDB-gated.
+    m += "ii_kernel_sql_agreement" -> { (s, dir) =>
+      import s.implicits._
+      val kernel = rankedDf(s, dir, "ranked_or").select($"query_id", $"doc_id")
+      val scores = Oracle.bm25Scores(s, dir, queriesDf(s))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_q").desc, col("doc_id").asc)
+      val t10 = scores.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 10)
+        .groupBy("query_id").agg(min($"score_q").as("t10"))
+      val mism = kernel
+        .join(scores.select($"query_id", $"doc_id", $"score_q"),
+              Seq("query_id", "doc_id"), "left")
+        .join(t10, Seq("query_id"), "left")
+        .withColumn("bad",
+          when($"score_q".isNull || $"score_q" < $"t10" - 1, 1L).otherwise(0L))
+        .groupBy("query_id").agg(sum($"bad").as("mismatches"))
+      FixedQueries.map(_._1.toLong).toDF("query_id")
+        .join(mism, Seq("query_id"), "left")
+        .select($"query_id",
+                coalesce($"mismatches", lit(0L)).as("mismatches"))
+        .orderBy("query_id")
+    }
+
     // --- B7 verify: full decode == raw postings, for every index type
     m += "ii_verify_roundtrip" -> { (s, dir) =>
       import s.implicits._
@@ -293,6 +324,28 @@ object SparkEntry {
 
     m += "text_fingerprint" -> ((s, dir) =>
       graft.ops.TextOps.fingerprints(documents(s, dir)))
+
+    // mm invariants as a zero-mismatch probe: feature vector is a
+    // 16-bin histogram summing to 1 (within float quantization) and
+    // n_bytes equals the true payload length, for every document row
+    m += "mm_selfcheck" -> { (s, dir) =>
+      import s.implicits._
+      val docs = documents(s, dir)
+        .select($"doc_id", octet_length($"text").cast("long").as("text_bytes"))
+      val feats = graft.ops.Multimodal.extractFeatures(
+        graft.ops.Multimodal.syntheticMedia(s, dir)).toDF()
+      val joined = feats
+        .join(docs, feats("media_id") === docs("doc_id"), "full_outer")
+      val badLen = joined.filter(size($"features") =!= 16).count()
+      val badSum = joined.filter($"n_bytes" > 0 &&
+        abs(aggregate($"features", lit(0.0),
+                      (a, x) => a + x.cast("double")) - 1.0) > 1e-3).count()
+      val badBytes = joined.filter($"n_bytes".isNull || $"text_bytes".isNull ||
+                                   $"n_bytes" =!= $"text_bytes").count()
+      Seq(("feature_len", badLen), ("histogram_sum", badSum),
+          ("payload_bytes", badBytes))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
 
     m += "mm_features" -> { (s, dir) =>
       import s.implicits._
@@ -414,6 +467,17 @@ object SparkEntry {
 
     "ii_pruning_agreement" ->
       "SELECT * FROM (VALUES ('block_max_wand', 0::BIGINT), ('maxscore', 0::BIGINT), ('wand', 0::BIGINT)) AS t(op, mismatched) ORDER BY op",
+
+    "ii_kernel_sql_agreement" ->
+      ("SELECT * FROM (VALUES " +
+       FixedQueries.map { case (id, _) => s"($id::BIGINT, 0::BIGINT)" }
+         .mkString(", ") +
+       ") AS t(query_id, mismatches) ORDER BY query_id"),
+
+    "mm_selfcheck" ->
+      ("SELECT * FROM (VALUES ('feature_len', 0::BIGINT), " +
+       "('histogram_sum', 0::BIGINT), ('payload_bytes', 0::BIGINT)) " +
+       "AS t(probe, mismatches) ORDER BY probe"),
 
     "ii_verify_roundtrip" ->
       ("SELECT * FROM (VALUES " +

@@ -49,8 +49,12 @@ object Oracle {
     * sum-order ulps; tie-break (score_q desc, doc_id asc).
     * queriesDf: (query_id, term) with duplicates = query-term
     * multiplicity. */
-  def bm25TopK(spark: SparkSession, sfDir: String, queriesDf: DataFrame,
-               k: Int): DataFrame = {
+  /** All (query_id, doc_id, score_q) matching pairs — the unranked
+    * double-precision BM25 score surface that bm25TopK windows over.
+    * Exposed so kernel results can be checked against the SQL-verified
+    * scores without re-deriving them. */
+  def bm25Scores(spark: SparkSession, sfDir: String,
+                 queriesDf: DataFrame): DataFrame = {
     val post = postings(spark, sfDir)
     val lens = docLens(spark, sfDir)
     val stats = lens.agg(count(lit(1)).cast("double").as("n"),
@@ -59,8 +63,7 @@ object Oracle {
     val q = queriesDf.groupBy("query_id", "term")
       .agg(count(lit(1)).cast("double").as("qtf"))
 
-    val scored = q
-      .join(post, "term")
+    q.join(post, "term")
       .join(df, "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
@@ -73,6 +76,11 @@ object Oracle {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("qw") * col("dtw")).as("score"))
       .withColumn("score_q", floor(col("score") * 100).cast("long"))
+  }
+
+  def bm25TopK(spark: SparkSession, sfDir: String, queriesDf: DataFrame,
+               k: Int): DataFrame = {
+    val scored = bm25Scores(spark, sfDir, queriesDf)
 
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
