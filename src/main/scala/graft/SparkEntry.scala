@@ -38,6 +38,11 @@ object SparkEntry {
   def engineQueries: Seq[Query] =
     FixedQueries.map { case (id, ts) => Query(id, ts.toArray) }
 
+  /** Shingle document-frequency cap for n-gram Jaccard candidate
+    * generation; shared by the Spark op and its DuckDB oracle so both
+    * sides probe the same candidate pairs. */
+  final val NgramMaxShingleDf = 1000
+
   /** The same query set as SQL literal rows (query_id, term). */
   def queryValuesSql: String =
     FixedQueries.flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }
@@ -300,7 +305,8 @@ object SparkEntry {
 
     m += "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(s, documents(s, dir), k = 3,
-                                        threshold = 0.5))
+                                        threshold = 0.5,
+                                        maxShingleDf = NgramMaxShingleDf))
 
     m += "dedup_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashLsh(s, documents(s, dir), k = 3, numPerms = 128,
@@ -499,25 +505,32 @@ object SparkEntry {
         |WHERE dup_count >= 2 ORDER BY text_hash""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, list_filter(
         |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
         |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-2)) AS i FROM t) u),
-        |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*)::BIGINT AS inter
-        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
+        |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $NgramMaxShingleDf),
+        |shc AS (SELECT doc_id, s FROM sh JOIN cold USING (s)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id),
+        |sets AS (SELECT doc_id, list(s) AS ss, count(*)::BIGINT AS sz
+        |         FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |         len(list_intersect(za.ss, zb.ss))::BIGINT AS inter,
+        |         za.sz AS sz_a, zb.sz AS sz_b
+        |  FROM cand
+        |  JOIN sets za ON za.doc_id = doc_a
+        |  JOIN sets zb ON zb.doc_id = doc_b)
         |SELECT doc_a, doc_b, inter,
-        |       (za.sz + zb.sz - inter)::BIGINT AS uni,
-        |       inter::DOUBLE / (za.sz + zb.sz - inter) AS jaccard
-        |FROM inter
-        |JOIN sz za ON za.doc_id = doc_a
-        |JOIN sz zb ON zb.doc_id = doc_b
-        |WHERE inter::DOUBLE / (za.sz + zb.sz - inter) >= 0.5
+        |       (sz_a + sz_b - inter)::BIGINT AS uni,
+        |       inter::DOUBLE / (sz_a + sz_b - inter) AS jaccard
+        |FROM pairs
+        |WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ann_cosine_top5" ->

@@ -23,26 +23,145 @@ import graft.core._
   */
 object HybridOptimizer {
 
-  /** O1: decode-time calibration, ns per 128-int block per codec tag.
-    * Seeded gap blocks over several magnitudes, 256 timed runs each
-    * after warmup (profile_decoding.cpp:13-41 protocol). */
-  def calibrate(runs: Int = 256): Map[Int, Double] = {
-    val rnd = new scala.util.Random(12345)
-    val blocks = (2 to 16 by 2).map(mag =>
-      Array.fill(128)(rnd.nextInt(1 << mag))).toArray
-    MixedCodec.candidates.indices.map { tag =>
-      val codec = MixedCodec.candidates(tag)
-      val encoded = blocks.map { b =>
-        val w = new ByteWriter(); codec.encode(b, -1, 128, w); w.result()
+  /** O3: per-codec linear decode-time predictor over per-block features
+    * [1, size, sum_of_logs, nonzeros, max_b, pfor_b, pfor_exceptions] —
+    * the reference's feature set (dec_time_prediction.hpp:13,108-143)
+    * minus n and entropy, which its own regression drops
+    * (dec_time_regression.py:49). The reference fits L1-regularized
+    * regression offline in numpy; here the fit is closed-form ridge
+    * least squares so it needs no dependencies and runs at calibrate
+    * time. pfor_b/pfor_exceptions are zero for non-PFD codecs
+    * (mixed_block.hpp:80-97). */
+  final case class DecTimeModel(weights: Array[Array[Double]],
+                                meanNs: Array[Double]) extends Serializable {
+    /** Predicted decode ns for one full block under codec `tag`. */
+    def predict(tag: Int, size: Int, vf: Array[Double],
+                pforB: Int, pforEx: Int): Double = {
+      val w = weights(tag)
+      val p = w(0) + w(1) * size + w(2) * vf(0) + w(3) * vf(1) +
+              w(4) * vf(2) + w(5) * pforB + w(6) * pforEx
+      if (p < 1.0) 1.0 else p // decode time is never free
+    }
+    def fastestTag: Int = {
+      var best = 0
+      var i = 1
+      while (i < meanNs.length) { if (meanNs(i) < meanNs(best)) best = i; i += 1 }
+      best
+    }
+  }
+
+  object DecTimeModel {
+    /** Intercept-only model (the round-1 constant calibration). */
+    def constant(ns: Map[Int, Double]): DecTimeModel = {
+      val tags = MixedCodec.candidates.indices
+      DecTimeModel(tags.map(t => Array(ns(t), 0, 0, 0, 0, 0, 0)).toArray,
+                   tags.map(ns).toArray)
+    }
+  }
+
+  /** O2: codec-independent value statistics of one block
+    * (dec_time_prediction.hpp:108-143): [sum_of_logs, nonzeros, max_b]. */
+  def valueFeatures(vals: Array[Int]): Array[Double] = {
+    var sumLogs = 0.0
+    var nonzeros = 0.0
+    var maxB = 0
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      sumLogs += math.log(v.toDouble + 1.0) * 1.4426950408889634 // log2
+      if (v != 0) {
+        nonzeros += 1
+        val b = 32 - Integer.numberOfLeadingZeros(v)
+        if (b > maxB) maxB = b
       }
-      val out = new Array[Int](128)
-      // warmup
-      for (_ <- 0 until 64; e <- encoded) codec.decode(e, 0, out, -1, 128)
-      val t0 = System.nanoTime()
-      for (_ <- 0 until runs; e <- encoded) codec.decode(e, 0, out, -1, 128)
-      val ns = (System.nanoTime() - t0).toDouble / (runs * encoded.length)
-      tag -> ns
-    }.toMap
+      i += 1
+    }
+    Array(sumLogs, nonzeros, maxB.toDouble)
+  }
+
+  /** Feature-diverse seeded calibration blocks: uniform gaps over a
+    * magnitude sweep, zero-heavy (freq-like), and exception-skewed
+    * (small base + k large outliers) shapes. */
+  private def calibrationBlocks(): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(12345)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    for (mag <- 1 to 16) out += Array.fill(128)(rnd.nextInt(1 << mag))
+    for (mag <- Seq(2, 6, 10); pz <- Seq(0.5, 0.8, 0.95))
+      out += Array.fill(128)(
+        if (rnd.nextDouble() < pz) 0 else rnd.nextInt(1 << mag))
+    for (k <- Seq(1, 4, 16, 64); mag <- Seq(12, 20)) {
+      val b = Array.fill(128)(rnd.nextInt(16))
+      var i = 0
+      while (i < k) { b(rnd.nextInt(128)) = rnd.nextInt(1 << mag); i += 1 }
+      out += b
+    }
+    out += Array.fill(128)(0)
+    out += Array.fill(128)(1)
+    out.toArray
+  }
+
+  /** Solve (X'X + eps*I) w = X'y — ridge-stabilized normal equations so
+    * all-zero feature columns (pfor params under non-PFD codecs) stay
+    * harmless. */
+  private def fitLinear(xs: Array[Array[Double]], ys: Array[Double]): Array[Double] = {
+    val d = xs(0).length
+    val a = Array.ofDim[Double](d, d + 1)
+    for (r <- xs.indices; i <- 0 until d) {
+      val xi = xs(r)(i)
+      var j = 0
+      while (j < d) { a(i)(j) += xi * xs(r)(j); j += 1 }
+      a(i)(d) += xi * ys(r)
+    }
+    for (i <- 0 until d) a(i)(i) += 1e-6
+    // Gaussian elimination with partial pivoting
+    for (col <- 0 until d) {
+      var piv = col
+      for (r <- col + 1 until d)
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val p = a(col)(col)
+      for (j <- col to d) a(col)(j) /= p
+      for (r <- 0 until d if r != col) {
+        val f = a(r)(col)
+        if (f != 0.0) for (j <- col to d) a(r)(j) -= f * a(col)(j)
+      }
+    }
+    Array.tabulate(d)(i => a(i)(d))
+  }
+
+  /** O1+O3: measure per-block decode times over the calibration shapes
+    * (256 timed decodes each after warmup, profile_decoding.cpp:13-41
+    * protocol) and fit the per-codec linear model. */
+  def calibrate(runs: Int = 256): DecTimeModel = {
+    val blocks = calibrationBlocks()
+    val feats = blocks.map(valueFeatures)
+    val out = new Array[Int](128)
+    val weights = new Array[Array[Double]](MixedCodec.candidates.length)
+    val means = new Array[Double](MixedCodec.candidates.length)
+    for (tag <- MixedCodec.candidates.indices) {
+      val codec = MixedCodec.candidates(tag)
+      val xs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (bi <- blocks.indices) {
+        val w = new ByteWriter()
+        codec.encode(blocks(bi), -1, 128, w)
+        val enc = w.result()
+        val pforB = if (tag == MixedCodec.OptPfdTag) w.byteAt(0) else 0
+        val pforEx = if (tag == MixedCodec.OptPfdTag) w.byteAt(1) else 0
+        var r = 0
+        while (r < 32) { codec.decode(enc, 0, out, -1, 128); r += 1 } // warmup
+        val t0 = System.nanoTime()
+        r = 0
+        while (r < runs) { codec.decode(enc, 0, out, -1, 128); r += 1 }
+        val ns = (System.nanoTime() - t0).toDouble / runs
+        xs += Array(1.0, enc.length.toDouble, feats(bi)(0), feats(bi)(1),
+                    feats(bi)(2), pforB.toDouble, pforEx.toDouble)
+        ys += ns
+      }
+      weights(tag) = fitLinear(xs.toArray, ys.toArray)
+      means(tag) = ys.sum / ys.length
+    }
+    DecTimeModel(weights, means)
   }
 
   // one frontier transition: taking it moves `unit` from hull step k to
@@ -93,7 +212,7 @@ object HybridOptimizer {
     * (vbyte(n) + 8*blocks - 4) + partial-block payloads. */
   def optimize(spark: SparkSession, index: BuiltIndex, budgetBytes: Long,
                partitions: Int = 32,
-               calibration: Map[Int, Double] = null): BuiltIndex = {
+               calibration: DecTimeModel = null): BuiltIndex = {
     import spark.implicits._
     require(IndexBuilder.BlockFamilies(index.meta.indexType),
             "hybrid optimization expects a block index")
@@ -101,11 +220,13 @@ object HybridOptimizer {
     // calibration is an explicit input so comparative runs (and resumed
     // builds) are deterministic; timing it inline would let measurement
     // noise flip the per-unit frontiers between runs
-    val times = if (calibration != null) calibration else calibrate()
-    val bcTimes = spark.sparkContext.broadcast(times)
-    val fastestTag = times.minBy(_._2)._1
+    val model = if (calibration != null) calibration else calibrate()
+    val bcModel = spark.sparkContext.broadcast(model)
+    val fastestTag = model.fastestTag
 
-    // per-unit candidate sizes -> hull transitions
+    // per-unit candidate sizes + per-block predicted decode times ->
+    // hull transitions (the time axis sees block shape through the
+    // learned feature model, not one constant per codec)
     val units = index.segments.flatMap { s =>
       BlockPostingList.blockData(s.bytes, 0, srcCodec).iterator
         .filter(_.size == 128) // partial blocks stay interpolative, untouched
@@ -114,18 +235,28 @@ object HybridOptimizer {
             val (vals, sum) =
               if (comp == 0) (bd.docGaps, bd.docGapUniverse)
               else (bd.freqsMinus1, -1)
-            val sizes = MixedCodec.candidates.map { c =>
-              val w = new ByteWriter(); c.encode(vals, sum, 128, w); w.size
+            val vf = valueFeatures(vals)
+            val m = bcModel.value
+            val nCand = MixedCodec.candidates.length
+            val sizes = new Array[Int](nCand)
+            val times = new Array[Double](nCand)
+            var tag = 0
+            while (tag < nCand) {
+              val w = new ByteWriter()
+              MixedCodec.candidates(tag).encode(vals, sum, 128, w)
+              sizes(tag) = w.size
+              val pforB = if (tag == MixedCodec.OptPfdTag) w.byteAt(0) else 0
+              val pforEx = if (tag == MixedCodec.OptPfdTag) w.byteAt(1) else 0
+              times(tag) = m.predict(tag, w.size, vf, pforB, pforEx)
+              tag += 1
             }
-            (s.termId, s.shard, bd.index, comp, sizes)
+            (s.termId, s.shard, bd.index, comp, sizes, times)
           }
         }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val timesLocal = times
-    val startAndTransitions = units.map { case (termId, shard, block, comp, sizes) =>
-      val h = hull(sizes, MixedCodec.candidates.indices
-        .map(timesLocal). toArray)
+    val startAndTransitions = units.map { case (termId, shard, block, comp, sizes, times) =>
+      val h = hull(sizes, times)
       val trans = (0 until h.length - 1).map { k =>
         Transition(termId, shard, block, comp, k,
                    (h(k + 1)._3 - h(k)._3) / (h(k)._2 - h(k + 1)._2).toDouble,

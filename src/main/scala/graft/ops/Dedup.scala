@@ -32,32 +32,54 @@ object Dedup {
       .distinct.toArray
   }
 
-  /** Exact n-gram Jaccard near-duplicate pairs via a shingle inverted
-    * index: docs sharing >= 1 shingle become candidates; Jaccard
-    * computed exactly from shingle-set sizes. */
+  /** Exact n-gram Jaccard near-duplicate pairs, two-phase:
+    *
+    * 1. CANDIDATES from a shingle inverted index restricted to shingles
+    *    with document frequency <= `maxShingleDf`. A shingle shared by M
+    *    docs yields M^2/2 candidate rows, so at corpus scale one hot
+    *    boilerplate shingle ("click here to", navigation chrome) would
+    *    dominate the whole job; the cap bounds every bucket. Docs whose
+    *    overlap is ONLY hot shingles are missed — at threshold >= 0.5
+    *    such pairs share mostly boilerplate, the standard trade.
+    * 2. EXACT verification: candidate pairs join their full (uncapped)
+    *    per-doc shingle sets and intersect them, so reported jaccard
+    *    values are exact — the cap only affects which pairs are probed.
+    */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame, k: Int = 3,
-                        threshold: Double = 0.5): DataFrame = {
+                        threshold: Double = 0.5,
+                        maxShingleDf: Int = 1000): DataFrame = {
     import spark.implicits._
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) => shingles(text, k).map(s => (id, s)) }
       .toDF("doc_id", "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("sz"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-                          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).cast("long").as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("sz", "sz_b"), "doc_b")
+    // (sh feeds four consumers; at production scale persist it outside —
+    // not done here so repeated gate calls don't accumulate cached plans)
+    val cold = sh.groupBy("shingle")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val shCold = sh.join(cold, Seq("shingle"), "left_semi")
+    val a = shCold.as("a")
+    val b = shCold.as("b")
+    val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
+                         col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("ss"),
+           count(lit(1)).cast("long").as("sz"))
+    val out = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a"),
+                        col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b"),
+                        col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
       .orderBy("doc_a", "doc_b")
+    out
   }
 
   // ---------------------------------------------------------------- MinHash

@@ -38,7 +38,8 @@ class HybridSpec extends AnyFunSuite {
     val expected = decodeAll(src)
     // fixed calibration so the three runs share identical frontiers
     // (timing it per run lets noise flip the fastest-codec start points)
-    val cal = Map(0 -> 600.0, 1 -> 300.0, 2 -> 3000.0)
+    val cal = HybridOptimizer.DecTimeModel.constant(
+      Map(0 -> 600.0, 1 -> 300.0, 2 -> 3000.0))
 
     val pureSpace = HybridOptimizer.optimize(spark, src, 0L, 4, cal)
     val sSpace = totalBytes(pureSpace)
@@ -66,6 +67,33 @@ class HybridSpec extends AnyFunSuite {
     val b = Engine.topK(spark, midIdx, queries, "ranked_or", 10).collect()
       .sortBy(h => (h.queryId, h.rank)).map(h => (h.queryId, h.docId, h.score)).toSeq
     assert(a == b)
+  }
+
+  test("learned decode-time model differentiates block shapes") {
+    val m = HybridOptimizer.calibrate(runs = 64)
+    // intercept-only predicts one time per codec; the learned model must
+    // see block shape: an exception-heavy wide block vs a dense tiny
+    // block should get different predictions for at least one codec
+    val rnd = new scala.util.Random(7)
+    val tiny = Array.fill(128)(rnd.nextInt(4))
+    val wide = Array.fill(128)(rnd.nextInt(1 << 20))
+    val preds = (0 until MixedCodec.candidates.length).map { tag =>
+      def p(vals: Array[Int]): Double = {
+        val w = new ByteWriter()
+        MixedCodec.candidates(tag).encode(vals, -1, 128, w)
+        val pforB = if (tag == MixedCodec.OptPfdTag) w.byteAt(0) else 0
+        val pforEx = if (tag == MixedCodec.OptPfdTag) w.byteAt(1) else 0
+        m.predict(tag, w.size, HybridOptimizer.valueFeatures(vals), pforB, pforEx)
+      }
+      (p(tiny), p(wide))
+    }
+    assert(preds.exists { case (a, b) =>
+      math.abs(a - b) / math.max(a, b) > 0.05
+    }, s"learned model is feature-blind: $preds")
+    // and all predictions remain positive and finite
+    preds.foreach { case (a, b) =>
+      assert(a > 0 && b > 0 && !a.isNaN && !b.isNaN)
+    }
   }
 
   test("pure-space hybrid equals the min-size mixed choice per unit") {
