@@ -31,7 +31,13 @@ object Corpus {
         val rank = math.min(vocabSize - 1,
           math.pow(u, -1.0 / 1.1).toInt - 1)
         if (t > 0) sb.append(' ')
-        sb.append("w%06d".format(rank))
+        // zero-padded "w%06d" without String.format (it dominated gen
+        // time); identical output for any rank
+        sb.append('w')
+        val s = Integer.toString(rank)
+        var p = 6 - s.length
+        while (p > 0) { sb.append('0'); p -= 1 }
+        sb.append(s)
         t += 1
       }
       val text = sb.toString
@@ -88,10 +94,13 @@ object DocIds {
   def assign(spark: SparkSession, corpus: Dataset[CorpusDoc],
              partitions: Int = 32): Dataset[DocRow] = {
     import spark.implicits._
-    val sorted = corpus
+    // column-level select BEFORE the typed stages so Catalyst prunes the
+    // scan to (url, text): a typed .map would deserialize whole rows and
+    // drag the html payload (the bulk of a web corpus) through the sort
+    val sorted = corpus.toDF()
+      .select($"url", $"text").as[(String, String)]
       .repartitionByRange(partitions, $"url")
       .sortWithinPartitions($"url")
-      .map(d => (d.url, d.text))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
     val offsets = counts.scanLeft(0L)(_ + _)

@@ -52,8 +52,7 @@ object Dedup {
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) => shingles(text, k).map(s => (id, s)) }
       .toDF("doc_id", "shingle")
-    // (sh feeds four consumers; at production scale persist it outside —
-    // not done here so repeated gate calls don't accumulate cached plans)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cold = sh.groupBy("shingle")
       .agg(count(lit(1)).cast("long").as("df"))
       .filter(col("df") <= maxShingleDf)
@@ -79,7 +78,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
       .orderBy("doc_a", "doc_b")
-    out
+    // sh feeds four consumers (df cap, both sides of the candidate
+    // self-join, the verification sets); materialize the small pair
+    // output eagerly so the big shingle cache can be released here
+    // instead of leaking into the caller's session
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sh.unpersist()
+    result
   }
 
   // ---------------------------------------------------------------- MinHash
