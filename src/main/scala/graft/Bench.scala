@@ -261,8 +261,18 @@ object Bench {
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
     def eff(l: Double, h: Double): Double =
       if (l <= 0) 0.0 else (h / l) * (coresLow.toDouble / coresHigh)
-    def bestRoundEff: Double =
-      if (rounds.isEmpty) 0.0 else rounds.map(p => eff(p._1, p._2)).max
+    // parallel efficiency cannot legitimately exceed 1: a round reporting
+    // eff > ~1 means the low-cores window was interference-poisoned, not
+    // that scaling is superlinear — such rounds are reported but never
+    // selected as the headline
+    def plausible(p: (Double, Double)): Boolean = {
+      val e = eff(p._1, p._2)
+      e > 0.0 && e <= 1.05
+    }
+    def bestRoundEff: Double = {
+      val ok = rounds.filter(plausible)
+      if (ok.isEmpty) 0.0 else ok.map(p => eff(p._1, p._2)).max
+    }
     try {
       val corpusDir = prepCorpus(benchDocs, cpus)
       stamp(s"scaling corpus prepped at $corpusDir")
@@ -292,9 +302,12 @@ object Bench {
     // efficiency = (T_N * N) / (T_4N * 4N) = (tpHigh / tpLow) * (N / 4N),
     // from the best temporally-adjacent round
     val efficiency = bestRoundEff
-    val bestRound =
-      if (rounds.isEmpty) (0.0, 0.0)
-      else rounds.maxBy(p => eff(p._1, p._2))
+    val bestRound = {
+      val ok = rounds.filter(plausible)
+      if (ok.nonEmpty) ok.maxBy(p => eff(p._1, p._2))
+      else if (rounds.nonEmpty) rounds.last
+      else (0.0, 0.0)
+    }
     val tpLow = bestRound._1
     val tpHigh = bestRound._2
 

@@ -41,7 +41,9 @@ object SparkEntry {
   /** Shingle document-frequency cap for n-gram Jaccard candidate
     * generation; shared by the Spark op and its DuckDB oracle so both
     * sides probe the same candidate pairs. */
-  final val NgramMaxShingleDf = 1000
+  final val NgramMaxShingleDf = 200
+  /** Minimum shared cold shingles before a pair is verified. */
+  final val NgramMinCoOccur = 2
 
   /** The same query set as SQL literal rows (query_id, term). */
   def queryValuesSql: String =
@@ -306,7 +308,8 @@ object SparkEntry {
     m += "dedup_ngram_jaccard" -> ((s, dir) =>
       graft.ops.Dedup.ngramJaccardPairs(s, documents(s, dir), k = 3,
                                         threshold = 0.5,
-                                        maxShingleDf = NgramMaxShingleDf))
+                                        maxShingleDf = NgramMaxShingleDf,
+                                        minCoOccur = NgramMinCoOccur))
 
     m += "dedup_minhash_lsh" -> ((s, dir) =>
       graft.ops.Dedup.minhashLsh(s, documents(s, dir), k = 3, numPerms = 128,
@@ -515,8 +518,9 @@ object SparkEntry {
         |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $NgramMaxShingleDf),
         |shc AS (SELECT doc_id, s FROM sh JOIN cold USING (s)),
         |cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id),
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= $NgramMinCoOccur),
         |sets AS (SELECT doc_id, list(s) AS ss, count(*)::BIGINT AS sz
         |         FROM sh GROUP BY doc_id),
         |pairs AS (

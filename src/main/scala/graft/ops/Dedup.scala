@@ -35,35 +35,48 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs, two-phase:
     *
     * 1. CANDIDATES from a shingle inverted index restricted to shingles
-    *    with document frequency <= `maxShingleDf`. A shingle shared by M
-    *    docs yields M^2/2 candidate rows, so at corpus scale one hot
-    *    boilerplate shingle ("click here to", navigation chrome) would
-    *    dominate the whole job; the cap bounds every bucket. Docs whose
-    *    overlap is ONLY hot shingles are missed — at threshold >= 0.5
-    *    such pairs share mostly boilerplate, the standard trade.
+    *    with document frequency <= `maxShingleDf`, requiring >=
+    *    `minCoOccur` shared cold shingles. The df cap bounds every
+    *    bucket (a shingle shared by M docs otherwise yields M^2/2 rows —
+    *    at corpus scale one boilerplate shingle would dominate the job);
+    *    the co-occurrence floor drops the long tail of pairs sharing a
+    *    single random shingle, which dominates verification cost. Pairs
+    *    whose overlap is only hot shingles or a single shingle are
+    *    missed — at threshold >= 0.5 those are not near-duplicates.
     * 2. EXACT verification: candidate pairs join their full (uncapped)
     *    per-doc shingle sets and intersect them, so reported jaccard
-    *    values are exact — the cap only affects which pairs are probed.
+    *    values are exact — phase 1 only affects which pairs are probed.
     */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame, k: Int = 3,
                         threshold: Double = 0.5,
-                        maxShingleDf: Int = 1000): DataFrame = {
+                        maxShingleDf: Int = 200,
+                        minCoOccur: Int = 2): DataFrame = {
     import spark.implicits._
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) => shingles(text, k).map(s => (id, s)) }
       .toDF("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cold = sh.groupBy("shingle")
-      .agg(count(lit(1)).cast("long").as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("shingle")
-    val shCold = sh.join(cold, Seq("shingle"), "left_semi")
-    val a = shCold.as("a")
-    val b = shCold.as("b")
-    val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
-                         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // candidate pairs in ONE shuffle: group postings by shingle, drop
+    // hot buckets, emit each bucket's doc pairs directly. A sort-merge
+    // self-join on shingle would shuffle the posting stream twice and
+    // materialize the same pairs through a join — this is the inverted-
+    // index pair-emission shape, bounded per bucket by the df cap.
+    val cand = sh.groupBy("shingle")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, maxShingleDf))
+      .select(col("ds")).as[Array[Long]]
+      .flatMap { ds =>
+        val s = ds.sorted
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1) until s.length
+        } yield (s(i), s(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCoOccur)
+      .select("doc_a", "doc_b")
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("ss"),
            count(lit(1)).cast("long").as("sz"))
