@@ -522,6 +522,15 @@ object OptPfdCodec extends BlockCodec {
 /** Byte-aligned variable-byte block codec (scalar stand-in for the
   * reference's SSE varint-G8IU, /root/reference/block_codecs.hpp:229-315;
   * same role: byte-aligned fast-decode family). */
+/** Varint-G8IU (Stepanov et al., SPIRE'11), the exact group byte format
+  * of the reference's varint blocks (block_codecs.hpp:229-315 over
+  * FastPFor's VarIntG8IU): each group is 1 descriptor byte + 8 data
+  * bytes; integers are little-endian 1-4 byte varints that never span
+  * groups; descriptor bit k set means data byte k is the LAST byte of an
+  * integer; unused trailing bytes are zero padding with clear bits. The
+  * reference decodes groups with SSSE3 shuffle tables — on the JVM the
+  * same bytes decode scalar, bit-scanning the descriptor. Partial blocks
+  * fall back to interpolative exactly like the reference. */
 object VarintCodec extends BlockCodec {
   def name = "varint"
 
@@ -529,7 +538,32 @@ object VarintCodec extends BlockCodec {
     require(n <= blockSize)
     if (n < blockSize) { InterpolativeCodec.encode(in, sumOfValues, n, out); return }
     var i = 0
-    while (i < n) { TightVByte.encode(in(i), out); i += 1 }
+    while (i < n) {
+      val descAt = out.reserve(9) // descriptor + 8 data bytes (zeroed)
+      var desc = 0
+      var pos = 0
+      var filled = true
+      while (i < n && filled) {
+        val v = in(i)
+        val len =
+          if ((v & 0xffffff00) == 0) 1
+          else if ((v & 0xffff0000) == 0) 2
+          else if ((v & 0xff000000) == 0) 3
+          else 4
+        if (pos + len > 8) filled = false
+        else {
+          var b = 0
+          while (b < len) {
+            out.byteSet(descAt + 1 + pos + b, (v >>> (8 * b)) & 0xff)
+            b += 1
+          }
+          pos += len
+          desc |= 1 << (pos - 1)
+          i += 1
+        }
+      }
+      out.byteSet(descAt, desc)
+    }
   }
 
   def decode(in: Array[Byte], offset: Int, out: Array[Int], sumOfValues: Int,
@@ -539,10 +573,25 @@ object VarintCodec extends BlockCodec {
     var off = offset
     var i = 0
     while (i < n) {
-      val packed = TightVByte.decode(in, off)
-      out(i) = TightVByte.value(packed)
-      off = TightVByte.offset(packed)
-      i += 1
+      val desc = in(off) & 0xff
+      off += 1
+      var start = 0
+      var b = 0
+      while (b < 8) {
+        if ((desc & (1 << b)) != 0) {
+          var v = 0
+          var j = start
+          while (j <= b) {
+            v |= (in(off + j) & 0xff) << (8 * (j - start))
+            j += 1
+          }
+          out(i) = v
+          i += 1
+          start = b + 1
+        }
+        b += 1
+      }
+      off += 8
     }
     off
   }
