@@ -23,14 +23,17 @@ object Ann {
     * ranking; tie-break by neighbor id. */
   def cosineTopK(spark: SparkSession, embeddings: DataFrame,
                  queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // norms once per VECTOR (O(N*d)), not per pair (O(pairs*d)); the
+    // tiny query side broadcasts so the scan streams map-side
+    val q = broadcast(embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              norm(col("embedding")).as("qn")))
     val joined = q.crossJoin(
         embeddings.select(col("vec_id").as("neighbor_id"),
-                          col("embedding").as("nv")))
+                          col("embedding").as("nv"),
+                          norm(col("embedding")).as("nn")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("nv")) /
-                         (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("cos_q", floor(col("cos") * 1000).cast("long"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
@@ -88,12 +91,13 @@ object Ann {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val q = embeddings.select(col("vec_id").as("query_id"),
-                              col("embedding").as("qv"))
+                              col("embedding").as("qv"),
+                              norm(col("embedding")).as("qn"))
     val n = embeddings.select(col("vec_id").as("neighbor_id"),
-                              col("embedding").as("nv"))
+                              col("embedding").as("nv"),
+                              norm(col("embedding")).as("nn"))
     val scored = cand.join(q, "query_id").join(n, "neighbor_id")
-      .withColumn("cos", dot(col("qv"), col("nv")) /
-                         (norm(col("qv")) * norm(col("nv"))))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("cos_q", floor(col("cos") * 1000).cast("long"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
