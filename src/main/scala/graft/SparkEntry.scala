@@ -257,6 +257,53 @@ object SparkEntry {
       }.toDF("index_type", "mismatches").orderBy("index_type")
     }
 
+    // --- S4/S5/B5/P2 as a driver gate: resumable store byte-identity
+    // (partial build + resume == one-shot build) and hierarchical merge
+    // byte-identity (factor-4 coarsening == direct coarse build). Small
+    // shards (128 docs) so every sf has multiple shards to resume/merge.
+    m += "ii_store_resume_merge" -> { (s, dir) =>
+      import s.implicits._
+      val d = docsOf(s, dir)
+      val shardSize = 128L
+      def segMap(idx: BuiltIndex): Map[(Int, Int), Array[Byte]] =
+        idx.segments.collect().map(x => (x.termId, x.shard) -> x.bytes).toMap
+      def mismatches(a: Map[(Int, Int), Array[Byte]],
+                     b: Map[(Int, Int), Array[Byte]]): Long =
+        if (a.keySet != b.keySet) 1L
+        else a.count { case (k, bytes) =>
+          !java.util.Arrays.equals(bytes, b(k))
+        }.toLong
+
+      val dirFull = java.nio.file.Files.createTempDirectory("graft_gate_full").toString
+      val dirPart = java.nio.file.Files.createTempDirectory("graft_gate_part").toString
+      val full = IndexStore.buildResumable(s, d, "block_optpfor", shardSize,
+                                           dirFull, 8)
+      val fullSegs = segMap(full)
+      // simulate a run killed after shard 0: its data + manifest exist
+      val p0 = IndexBuilder.build(s, d, "block_optpfor", shardSize, 8,
+                                  onlyShards = Some(Set(0)))
+      p0.segments.write.mode("append").partitionBy("shard")
+        .parquet(s"$dirPart/segments")
+      p0.norms.filter(_.shard == 0).write.mode("append").partitionBy("shard")
+        .parquet(s"$dirPart/norms")
+      new java.io.File(s"$dirPart/manifests").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dirPart/manifests/shard-0.json"),
+        s"""{"shard": 0, "segments": 1, "postings": 1, "occ": 1, "bytes": 1, "inputDocs": $shardSize, "wallMillis": 0, "indexType": "block_optpfor", "builtAtEpochMs": 0, "attempt": "partial"}""")
+      val resumed = IndexStore.buildResumable(s, d, "block_optpfor", shardSize,
+                                              dirPart, 8)
+      val resumeBad = mismatches(segMap(resumed), fullSegs)
+
+      val fine = IndexBuilder.build(s, d, "block_optpfor", shardSize, 8)
+      val merged = Merge.mergeShards(s, fine, 4)
+      val direct = IndexBuilder.build(s, d, "block_optpfor", shardSize * 4, 8)
+      val mergeBad = mismatches(segMap(merged), segMap(direct))
+
+      Seq(("merge_byte_identical", mergeBad),
+          ("resume_byte_identical", resumeBad))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
+
     // --- O1-O4: space-time hybrid optimization round-trip (budget sweep)
     m += "ii_hybrid_optimizer" -> { (s, dir) =>
       import s.implicits._
@@ -318,11 +365,87 @@ object SparkEntry {
     m += "dedup_simhash" -> ((s, dir) =>
       graft.ops.Dedup.simhashPairs(s, documents(s, dir), maxDist = 3))
 
+    // MinHash estimate quality: every emitted pair's estimated jaccard
+    // must lie within 0.25 of the TRUE shingle jaccard (128 perms ->
+    // sigma ~0.035 at j=0.8; 0.25 is a >5-sigma band, deterministic
+    // under the fixed seed)
+    m += "dedup_minhash_selfcheck" -> { (s, dir) =>
+      import s.implicits._
+      val d = documents(s, dir)
+      val pairs = graft.ops.Dedup.minhashLsh(s, d, k = 3, numPerms = 128,
+                                             rowsPerBand = 4, threshold = 0.8)
+      val sets = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, graft.ops.Dedup.shingles(t, 3)) }
+        .toDF("doc_id", "ss")
+      val bad = pairs
+        .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
+        .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), "doc_b")
+        .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("double"))
+        .withColumn("uni",
+          (size($"sa") + size($"sb")).cast("double") - $"inter")
+        .withColumn("true_j", $"inter" / $"uni")
+        .withColumn("est", $"est_jaccard_x1000".cast("double") / 1000.0)
+        .filter(abs($"est" - $"true_j") > 0.25).count()
+      Seq(("est_within_025_of_true", bad))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
+
+    // SimHash blocking completeness: the 16-bit-segment pigeonhole must
+    // find EXACTLY the pairs a brute-force hamming<=3 scan finds
+    m += "dedup_simhash_complete" -> { (s, dir) =>
+      import s.implicits._
+      val d = documents(s, dir)
+      val emitted = graft.ops.Dedup.simhashPairs(s, d, maxDist = 3).count()
+      val hashed = d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, graft.ops.Dedup.simhash(t)) }
+        .toDF("doc_id", "h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val brute = hashed.select($"doc_id".as("da"), $"h".as("ha"))
+        .crossJoin(hashed.select($"doc_id".as("db"), $"h".as("hb")))
+        .filter($"da" < $"db" &&
+                bit_count($"ha".bitwiseXOR($"hb")) <= 3).count()
+      hashed.unpersist()
+      Seq(("blocking_complete", math.abs(emitted - brute)))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
+
     m += "ann_cosine_top5" -> ((s, dir) =>
       graft.ops.Ann.cosineTopK(s, embeddings(s, dir), (0L until 10L), k = 5))
 
     m += "ann_lsh_top5" -> ((s, dir) =>
       graft.ops.Ann.lshTopK(s, embeddings(s, dir), (0L until 10L), k = 5))
+
+    // LSH invariants as zero-mismatch probes (everything is seeded, so
+    // the recall at a gate SF is a fixed deterministic number):
+    // reported scores must equal the exact cosine of the same pair, and
+    // recall@5 vs the exact baseline must clear a generous floor
+    m += "ann_lsh_selfcheck" -> { (s, dir) =>
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val lsh = graft.ops.Ann.lshTopK(s, emb, (0L until 10L), k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = graft.ops.Ann.cosineTopK(s, emb, (0L until 10L), k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = emb.select($"vec_id".as("query_id"), $"embedding".as("qv"),
+                         graft.ops.Ann.norm($"embedding").as("qn"))
+      val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
+                         graft.ops.Ann.norm($"embedding").as("nn"))
+      val recomputed = lsh.select($"query_id", $"neighbor_id", $"cos_q")
+        .join(q, "query_id").join(n, "neighbor_id")
+        .withColumn("cos_q2",
+          floor(graft.ops.Ann.dot($"qv", $"nv") / ($"qn" * $"nn") * 1000)
+            .cast("long"))
+      val badCos = recomputed.filter($"cos_q" =!= $"cos_q2").count()
+      val hits = lsh.select($"query_id", $"neighbor_id")
+        .join(exact.select($"query_id", $"neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = exact.count()
+      val recall1000 = if (total == 0) 1000L else hits * 1000L / total
+      lsh.unpersist(); exact.unpersist()
+      Seq(("cos_q_consistent", badCos),
+          ("recall_at5_ge_600", if (recall1000 >= 600L) 0L else 1L))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
 
     m += "text_quality" -> ((s, dir) => graft.ops.TextOps.quality(documents(s, dir)))
 
@@ -476,6 +599,22 @@ object SparkEntry {
 
     "ii_pruning_agreement" ->
       "SELECT * FROM (VALUES ('block_max_wand', 0::BIGINT), ('maxscore', 0::BIGINT), ('wand', 0::BIGINT)) AS t(op, mismatched) ORDER BY op",
+
+    "ii_store_resume_merge" ->
+      ("SELECT * FROM (VALUES ('merge_byte_identical', 0::BIGINT), " +
+       "('resume_byte_identical', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
+
+    "ann_lsh_selfcheck" ->
+      ("SELECT * FROM (VALUES ('cos_q_consistent', 0::BIGINT), " +
+       "('recall_at5_ge_600', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
+
+    "dedup_minhash_selfcheck" ->
+      ("SELECT * FROM (VALUES ('est_within_025_of_true', 0::BIGINT)) " +
+       "AS t(probe, mismatches) ORDER BY probe"),
+
+    "dedup_simhash_complete" ->
+      ("SELECT * FROM (VALUES ('blocking_complete', 0::BIGINT)) " +
+       "AS t(probe, mismatches) ORDER BY probe"),
 
     "ii_kernel_sql_agreement" ->
       ("SELECT * FROM (VALUES " +

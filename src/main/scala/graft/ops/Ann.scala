@@ -72,8 +72,8 @@ object Ann {
     * candidates = same bucket in any table; ranked by exact cosine.
     * Recall/approximation verified against cosineTopK in ScalaTest. */
   def lshTopK(spark: SparkSession, embeddings: DataFrame,
-              queryIds: Seq[Long], k: Int = 10, numPlanes: Int = 6,
-              numTables: Int = 16, seed: Long = 42L): DataFrame = {
+              queryIds: Seq[Long], k: Int = 10, numPlanes: Int = 5,
+              numTables: Int = 24, seed: Long = 42L): DataFrame = {
     import spark.implicits._
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val tables = spark.sparkContext.broadcast(
