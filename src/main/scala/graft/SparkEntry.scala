@@ -289,7 +289,7 @@ object SparkEntry {
       new java.io.File(s"$dirPart/manifests").mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dirPart/manifests/shard-0.json"),
-        s"""{"shard": 0, "segments": 1, "postings": 1, "occ": 1, "bytes": 1, "inputDocs": $shardSize, "wallMillis": 0, "indexType": "block_optpfor", "builtAtEpochMs": 0, "attempt": "partial"}""")
+        s"""{"shard": 0, "segments": 1, "postings": 1, "occ": 1, "bytes": 1, "inputDocs": $shardSize, "wallMillis": 0, "indexType": "block_optpfor", "builtAtEpochMs": 0, "attempt": "partial", "formatVersion": ${IndexStore.FormatVersion}}""")
       val resumed = IndexStore.buildResumable(s, d, "block_optpfor", shardSize,
                                               dirPart, 8)
       val resumeBad = mismatches(segMap(resumed), fullSegs)
@@ -342,6 +342,24 @@ object SparkEntry {
       space.segments.unpersist()
       speed.segments.unpersist()
       rows.toDF("probe", "mismatches").orderBy("probe")
+    }
+
+    // --- the Ding & Suel SIGIR'11 pruning crossover as a driver gate:
+    // at 200k docs (lists spanning many 128-doc blocks) block-max WAND
+    // must not be slower than plain WAND. Measured kernel-level inside
+    // the gate with the bench's interference discipline — interleaved
+    // rounds, per-op best (minimum-mean) round — because only
+    // within-run comparisons are stable on this host; 5% tolerance on
+    // the ratio absorbs residual timer noise.
+    m += "ii_bmw_crossover" -> { (s, dir) =>
+      import s.implicits._
+      val perf = Bench.opPerfTestPublic(
+        numDocs = 200000, ops = Seq("wand", "block_max_wand"), rounds = 3)
+      val bmw = perf("block_max_wand")("mean")
+      val wand = perf("wand")("mean")
+      Seq(("bmw_not_slower_than_wand",
+           if (bmw <= wand * 1.05) 0L else 1L))
+        .toDF("probe", "mismatches").orderBy("probe")
     }
 
     // ============ training-data pipeline operators over documents ========
@@ -457,25 +475,39 @@ object SparkEntry {
     m += "text_fingerprint" -> ((s, dir) =>
       graft.ops.TextOps.fingerprints(documents(s, dir)))
 
-    // mm invariants as a zero-mismatch probe: feature vector is a
-    // 16-bin histogram summing to 1 (within float quantization) and
-    // n_bytes equals the true payload length, for every document row
+    // mm invariants as a zero-mismatch probe: the decoders parse REAL
+    // binary layouts (PPM/WAV/Y4M), so decoded metadata must equal what
+    // was synthesized, features are a 16-bin histogram summing to 1,
+    // and n_bytes equals the true payload length, for every row
     m += "mm_selfcheck" -> { (s, dir) =>
       import s.implicits._
-      val docs = documents(s, dir)
-        .select($"doc_id", octet_length($"text").cast("long").as("text_bytes"))
-      val feats = graft.ops.Multimodal.extractFeatures(
-        graft.ops.Multimodal.syntheticMedia(s, dir)).toDF()
-      val joined = feats
-        .join(docs, feats("media_id") === docs("doc_id"), "full_outer")
+      val media = graft.ops.Multimodal.syntheticMedia(s, dir)
+      val mdf = media.toDF()
+        .select($"media_id", $"modality".as("m_modality"),
+                octet_length($"payload").cast("long").as("payload_bytes"),
+                $"meta_width", $"meta_height", $"meta_sample_rate")
+      val feats = graft.ops.Multimodal.extractFeatures(media).toDF()
+      val joined = feats.join(mdf, Seq("media_id"), "full_outer")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val badLen = joined.filter(size($"features") =!= 16).count()
       val badSum = joined.filter($"n_bytes" > 0 &&
         abs(aggregate($"features", lit(0.0),
                       (a, x) => a + x.cast("double")) - 1.0) > 1e-3).count()
-      val badBytes = joined.filter($"n_bytes".isNull || $"text_bytes".isNull ||
-                                   $"n_bytes" =!= $"text_bytes").count()
-      Seq(("feature_len", badLen), ("histogram_sum", badSum),
-          ("payload_bytes", badBytes))
+      val badBytes = joined.filter($"n_bytes".isNull || $"payload_bytes".isNull ||
+                                   $"n_bytes" =!= $"payload_bytes").count()
+      val badMeta = joined.filter(
+        ($"m_modality" === "image" &&
+           ($"dec_width" =!= $"meta_width" ||
+            $"dec_height" =!= $"meta_height")) ||
+        ($"m_modality" === "audio" &&
+           $"dec_sample_rate" =!= $"meta_sample_rate") ||
+        ($"m_modality" === "video" &&
+           ($"dec_width" =!= $"meta_width" ||
+            $"dec_height" =!= $"meta_height" || $"dec_frames" < 1)) ||
+        $"m_modality".isNull || $"modality".isNull).count()
+      joined.unpersist()
+      Seq(("decoded_meta", badMeta), ("feature_len", badLen),
+          ("histogram_sum", badSum), ("payload_bytes", badBytes))
         .toDF("probe", "mismatches").orderBy("probe")
     }
 
@@ -484,6 +516,10 @@ object SparkEntry {
       graft.ops.Multimodal.extractFeatures(
         graft.ops.Multimodal.syntheticMedia(s, dir)).toDF()
         .select($"media_id", $"modality", $"n_bytes",
+                $"dec_width".cast("long").as("dec_width"),
+                $"dec_height".cast("long").as("dec_height"),
+                $"dec_sample_rate".cast("long").as("dec_sample_rate"),
+                $"dec_frames".cast("long").as("dec_frames"),
                 round(element_at($"features", 1).cast("double"), 6).as("f0"),
                 round(element_at($"features", 16).cast("double"), 6).as("f15"))
         .orderBy("media_id")
@@ -616,6 +652,10 @@ object SparkEntry {
       ("SELECT * FROM (VALUES ('blocking_complete', 0::BIGINT)) " +
        "AS t(probe, mismatches) ORDER BY probe"),
 
+    "ii_bmw_crossover" ->
+      ("SELECT * FROM (VALUES ('bmw_not_slower_than_wand', 0::BIGINT)) " +
+       "AS t(probe, mismatches) ORDER BY probe"),
+
     "ii_kernel_sql_agreement" ->
       ("SELECT * FROM (VALUES " +
        FixedQueries.map { case (id, _) => s"($id::BIGINT, 0::BIGINT)" }
@@ -623,7 +663,8 @@ object SparkEntry {
        ") AS t(query_id, mismatches) ORDER BY query_id"),
 
     "mm_selfcheck" ->
-      ("SELECT * FROM (VALUES ('feature_len', 0::BIGINT), " +
+      ("SELECT * FROM (VALUES ('decoded_meta', 0::BIGINT), " +
+       "('feature_len', 0::BIGINT), " +
        "('histogram_sum', 0::BIGINT), ('payload_bytes', 0::BIGINT)) " +
        "AS t(probe, mismatches) ORDER BY probe"),
 
@@ -646,15 +687,26 @@ object SparkEntry {
         |  FROM documents GROUP BY md5(text)) t
         |WHERE dup_count >= 2 ORDER BY text_hash""".stripMargin,
 
+    // mirrors the Spark op's three phases: exact-dup pre-collapse to one
+    // representative per distinct text, df-capped candidate generation
+    // over representatives, exact verification, then expansion back to
+    // member pairs plus jaccard-1 intra-group pairs
     "dedup_ngram_jaccard" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, list_filter(
-        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS a
-        |  FROM documents),
+      s"""WITH g AS (
+        |  SELECT doc_id, md5(text) AS h, text FROM documents),
+        |reps AS (
+        |  SELECT h, min(doc_id) AS rep_id, count(*)::BIGINT AS members
+        |  FROM g GROUP BY h),
+        |mem AS (SELECT r.rep_id, g.doc_id FROM g JOIN reps r USING (h)),
+        |t AS (
+        |  SELECT r.rep_id AS doc_id, list_filter(
+        |    regexp_split_to_array(lower(g.text), '[^a-z0-9]+'), x -> x <> '') AS a
+        |  FROM g JOIN reps r ON g.doc_id = r.rep_id),
         |sh AS (
         |  SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] || ' ' || a[i+2] AS s
         |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-2)) AS i FROM t) u),
-        |cold AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $NgramMaxShingleDf),
+        |cold AS (SELECT s FROM sh GROUP BY s
+        |         HAVING count(*) BETWEEN 2 AND $NgramMaxShingleDf),
         |shc AS (SELECT doc_id, s FROM sh JOIN cold USING (s)),
         |cand AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -662,18 +714,33 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING count(*) >= $NgramMinCoOccur),
         |sets AS (SELECT doc_id, list(s) AS ss, count(*)::BIGINT AS sz
         |         FROM sh GROUP BY doc_id),
-        |pairs AS (
+        |rpairs AS (
         |  SELECT doc_a, doc_b,
         |         len(list_intersect(za.ss, zb.ss))::BIGINT AS inter,
         |         za.sz AS sz_a, zb.sz AS sz_b
         |  FROM cand
         |  JOIN sets za ON za.doc_id = doc_a
-        |  JOIN sets zb ON zb.doc_id = doc_b)
-        |SELECT doc_a, doc_b, inter,
-        |       (sz_a + sz_b - inter)::BIGINT AS uni,
-        |       inter::DOUBLE / (sz_a + sz_b - inter) AS jaccard
-        |FROM pairs
-        |WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.5
+        |  JOIN sets zb ON zb.doc_id = doc_b),
+        |cross_pairs AS (
+        |  SELECT least(xa.doc_id, xb.doc_id) AS doc_a,
+        |         greatest(xa.doc_id, xb.doc_id) AS doc_b,
+        |         inter, (sz_a + sz_b - inter)::BIGINT AS uni,
+        |         inter::DOUBLE / (sz_a + sz_b - inter) AS jaccard
+        |  FROM rpairs
+        |  JOIN mem xa ON xa.rep_id = rpairs.doc_a
+        |  JOIN mem xb ON xb.rep_id = rpairs.doc_b
+        |  WHERE inter::DOUBLE / (sz_a + sz_b - inter) >= 0.5),
+        |intra AS (
+        |  SELECT xa.doc_id AS doc_a, xb.doc_id AS doc_b,
+        |         s.sz AS inter, s.sz AS uni, s.sz::DOUBLE / s.sz AS jaccard
+        |  FROM reps r
+        |  JOIN sets s ON s.doc_id = r.rep_id
+        |  JOIN mem xa ON xa.rep_id = r.rep_id
+        |  JOIN mem xb ON xb.rep_id = r.rep_id AND xa.doc_id < xb.doc_id
+        |  WHERE r.members >= 2 AND s.sz >= 1)
+        |SELECT doc_a, doc_b, inter, uni, jaccard FROM cross_pairs
+        |UNION ALL
+        |SELECT doc_a, doc_b, inter, uni, jaccard FROM intra
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ann_cosine_top5" ->

@@ -21,10 +21,20 @@ import org.apache.hadoop.fs.Path
   */
 object IndexStore {
 
+  /** On-disk segment-byte format version, recorded in every shard
+    * manifest. Bump whenever any codec's byte layout changes (v2: the
+    * Varint-G8IU descriptor-polarity fix — v1 varint/mixed bytes decode
+    * as garbage under v2 code). A shard manifested under a different
+    * version or index type is treated as MISSING by buildResumable and
+    * rebuilt; without this, resuming across a format change silently
+    * mixes incompatible shard bytes into one index. */
+  final val FormatVersion = 2
+
   final case class ShardManifest(shard: Int, segments: Long, postings: Long,
                                  occ: Long, bytes: Long, inputDocs: Long,
                                  wallMillis: Long, indexType: String,
-                                 builtAtEpochMs: Long, attempt: String)
+                                 builtAtEpochMs: Long, attempt: String,
+                                 formatVersion: Int)
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,7 +88,12 @@ object IndexStore {
     jsonField(json, "numTerms").get.toLong,
     jsonField(json, "numPostings").get.toLong)
 
-  def validShards(spark: SparkSession, dir: String): Set[Int] = {
+  /** Shards whose manifest validates: parseable, matching segment data
+    * present, byte-format version current, and (when given) the expected
+    * index type — a manifest written by older-format or different-family
+    * code does not count as done. */
+  def validShards(spark: SparkSession, dir: String,
+                  indexType: Option[String] = None): Set[Int] = {
     val f = fs(spark, dir)
     val mdir = new Path(s"$dir/manifests")
     if (!f.exists(mdir)) return Set.empty
@@ -88,6 +103,9 @@ object IndexStore {
       else readString(spark, st.getPath.toString).flatMap { js =>
         for {
           shard <- jsonField(js, "shard").map(_.toInt)
+          ver <- jsonField(js, "formatVersion").map(_.toInt)
+          if ver == FormatVersion
+          if indexType.forall(t => jsonField(js, "indexType").contains(t))
           if f.exists(new Path(s"$dir/segments/shard=$shard"))
         } yield shard
       }
@@ -106,7 +124,7 @@ object IndexStore {
 
     val numDocs = docs.count()
     val allShards = (0 until ((numDocs + shardSize - 1) / shardSize).toInt).toSet
-    val done = validShards(spark, dir)
+    val done = validShards(spark, dir, Some(indexType))
     val missing = allShards -- done
 
     if (missing.nonEmpty) {
@@ -145,7 +163,7 @@ object IndexStore {
           "inputDocs" -> math.min(shardSize, numDocs - shard * shardSize),
           "wallMillis" -> wall, "indexType" -> indexType,
           "builtAtEpochMs" -> System.currentTimeMillis(),
-          "attempt" -> attempt))
+          "attempt" -> attempt, "formatVersion" -> FormatVersion))
         writeString(spark, s"$dir/manifests/shard-$shard.json", m)
       }
       val totalPostings = stats.map(_._3).sum +

@@ -519,18 +519,17 @@ object OptPfdCodec extends BlockCodec {
   }
 }
 
-/** Byte-aligned variable-byte block codec (scalar stand-in for the
-  * reference's SSE varint-G8IU, /root/reference/block_codecs.hpp:229-315;
-  * same role: byte-aligned fast-decode family). */
 /** Varint-G8IU (Stepanov et al., SPIRE'11), the exact group byte format
   * of the reference's varint blocks (block_codecs.hpp:229-315 over
   * FastPFor's VarIntG8IU): each group is 1 descriptor byte + 8 data
   * bytes; integers are little-endian 1-4 byte varints that never span
-  * groups; descriptor bit k set means data byte k is the LAST byte of an
-  * integer; unused trailing bytes are zero padding with clear bits. The
-  * reference decodes groups with SSSE3 shuffle tables — on the JVM the
-  * same bytes decode scalar, bit-scanning the descriptor. Partial blocks
-  * fall back to interpolative exactly like the reference. */
+  * groups; the descriptor starts at 0xFF and bit k is CLEARED when data
+  * byte k is the LAST byte of an integer — so unused trailing padding
+  * bytes keep their bits SET (FastPFor initializes desc = 0xFF and
+  * XOR-clears one bit per integer). The reference decodes groups with
+  * SSSE3 shuffle tables — on the JVM the same bytes decode scalar,
+  * bit-scanning the descriptor for clear bits. Partial blocks fall back
+  * to interpolative exactly like the reference. */
 object VarintCodec extends BlockCodec {
   def name = "varint"
 
@@ -540,7 +539,7 @@ object VarintCodec extends BlockCodec {
     var i = 0
     while (i < n) {
       val descAt = out.reserve(9) // descriptor + 8 data bytes (zeroed)
-      var desc = 0
+      var desc = 0xff
       var pos = 0
       var filled = true
       while (i < n && filled) {
@@ -558,7 +557,7 @@ object VarintCodec extends BlockCodec {
             b += 1
           }
           pos += len
-          desc |= 1 << (pos - 1)
+          desc &= ~(1 << (pos - 1))
           i += 1
         }
       }
@@ -578,7 +577,7 @@ object VarintCodec extends BlockCodec {
       var start = 0
       var b = 0
       while (b < 8) {
-        if ((desc & (1 << b)) != 0) {
+        if ((desc & (1 << b)) == 0) {
           var v = 0
           var j = start
           while (j <= b) {

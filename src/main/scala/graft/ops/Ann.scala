@@ -68,16 +68,33 @@ object Ann {
     sig
   }
 
+  /** Expected-bucket-size-driven hyperplane count: 2^planes buckets per
+    * table should keep the average bucket near `bucketTarget` vectors,
+    * so planes must grow ~log2(N) — a FIXED plane count leaves 10^7+
+    * vector buckets at web scale and the candidate join goes quadratic.
+    * Floor of 5 keeps small/gate-sized corpora at the verified recall
+    * regime. */
+  def defaultNumPlanes(n: Long, bucketTarget: Long = 256L): Int =
+    // cap 30: the signature packs one bit per plane into an Int key
+    math.min(30,
+      math.max(5, math.ceil(math.log(math.max(1L, n).toDouble /
+                                       bucketTarget) / math.log(2.0)).toInt))
+
   /** LSH-bucketed approximate top-k: multi-table (numTables) signatures;
     * candidates = same bucket in any table; ranked by exact cosine.
-    * Recall/approximation verified against cosineTopK in ScalaTest. */
+    * numPlanes <= 0 derives the plane count from the corpus size
+    * (defaultNumPlanes). Recall/approximation verified against
+    * cosineTopK in ScalaTest and the ann_lsh_selfcheck driver gate. */
   def lshTopK(spark: SparkSession, embeddings: DataFrame,
-              queryIds: Seq[Long], k: Int = 10, numPlanes: Int = 5,
+              queryIds: Seq[Long], k: Int = 10, numPlanes: Int = 0,
               numTables: Int = 24, seed: Long = 42L): DataFrame = {
     import spark.implicits._
+    val planeCount =
+      if (numPlanes > 0) numPlanes
+      else defaultNumPlanes(embeddings.count())
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val tables = spark.sparkContext.broadcast(
-      Array.tabulate(numTables)(t => hyperplanes(numPlanes, dim, seed + t)))
+      Array.tabulate(numTables)(t => hyperplanes(planeCount, dim, seed + t)))
     val sigs = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>

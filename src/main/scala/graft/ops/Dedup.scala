@@ -21,6 +21,31 @@ object Dedup {
       .filter(col("dup_count") >= 2)
       .orderBy("text_hash")
 
+  /** Exact-duplicate pre-collapse shared by the near-dup ops: one
+    * representative (min doc_id) per distinct text.
+    *
+    * Returns (repDocs, membership): repDocs is (doc_id, text) with one
+    * row per DISTINCT text (doc_id = the representative), membership is
+    * (rep_id, doc_id, members) mapping every input doc to its
+    * representative. Near-dup candidate generation then runs over
+    * distinct texts only — a cluster of M byte-identical documents (the
+    * most common web-duplication shape) costs one hash groupBy instead
+    * of flooding a blocking bucket with M entries and M^2/2 candidate
+    * pairs. */
+  def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = docs.select(col("doc_id"), col("text"),
+                            md5(col("text")).as("h"))
+    val reps = keyed.groupBy("h")
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).cast("long").as("members"))
+    val membership = keyed.select(col("h"), col("doc_id"))
+      .join(reps, "h")
+      .select(col("rep_id"), col("doc_id"), col("members"))
+    val repDocs = keyed
+      .join(reps.select(col("rep_id")), keyed("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    (repDocs, membership)
+  }
+
   /** Token k-shingles of a document, distinct. Documents with fewer than
     * k tokens have NO shingles (matches the oracle's n-gram definition,
     * generate_series(1, len-k+1) yielding nothing) — returning a partial
@@ -32,38 +57,55 @@ object Dedup {
       .distinct.toArray
   }
 
-  /** Exact n-gram Jaccard near-duplicate pairs, two-phase:
+  /** Exact n-gram Jaccard near-duplicate pairs, three-phase:
     *
+    * 0. EXACT-DUP PRE-COLLAPSE (collapseExact): candidate generation
+    *    runs over one representative per distinct text; exact-duplicate
+    *    clusters — the dominant web-duplication shape and the main
+    *    dedup target — are recovered via the hash groups in linear
+    *    work, never pair-enumerated through shingle buckets.
     * 1. CANDIDATES from a shingle inverted index restricted to shingles
-    *    with document frequency <= `maxShingleDf`, requiring >=
-    *    `minCoOccur` shared cold shingles. The df cap bounds every
-    *    bucket (a shingle shared by M docs otherwise yields M^2/2 rows —
-    *    at corpus scale one boilerplate shingle would dominate the job);
-    *    the co-occurrence floor drops the long tail of pairs sharing a
-    *    single random shingle, which dominates verification cost. Pairs
-    *    whose overlap is only hot shingles or a single shingle are
-    *    missed — at threshold >= 0.5 those are not near-duplicates.
+    *    whose distinct-text frequency is <= `maxShingleDf`, requiring
+    *    >= `minCoOccur` shared cold shingles. The df filter runs
+    *    BEFORE any bucket materializes (count per shingle, then join),
+    *    so a boilerplate shingle with millions of postings is dropped
+    *    by a streaming count, not collected into one executor buffer.
     * 2. EXACT verification: candidate pairs join their full (uncapped)
     *    per-doc shingle sets and intersect them, so reported jaccard
-    *    values are exact — phase 1 only affects which pairs are probed.
-    */
+    *    values are exact — phases 0-1 only affect which pairs are
+    *    probed.
+    *
+    * RECALL LIMITS (the df cap is lossy, not merely a reordering): a
+    * NEAR-duplicate cluster of more than `maxShingleDf` distinct text
+    * variants has every shared shingle above the cap and produces no
+    * candidates; likewise `minCoOccur` drops pairs of distinct texts
+    * whose overlap is a single shingle (e.g. exactly-k-token docs).
+    * Such missed pairs CAN be true near-duplicates. Exact duplicates
+    * are always recovered regardless (phase 0); the residual blind spot
+    * is clusters of >maxShingleDf mutually-near-but-unequal variants. */
   def ngramJaccardPairs(spark: SparkSession, docs: DataFrame, k: Int = 3,
                         threshold: Double = 0.5,
                         maxShingleDf: Int = 200,
                         minCoOccur: Int = 2): DataFrame = {
     import spark.implicits._
-    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val (repDocs, membership0) = collapseExact(docs)
+    val membership = membership0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = repDocs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) => shingles(text, k).map(s => (id, s)) }
       .toDF("doc_id", "shingle")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // candidate pairs in ONE shuffle: group postings by shingle, drop
-    // hot buckets, emit each bucket's doc pairs directly. A sort-merge
-    // self-join on shingle would shuffle the posting stream twice and
-    // materialize the same pairs through a join — this is the inverted-
-    // index pair-emission shape, bounded per bucket by the df cap.
-    val cand = sh.groupBy("shingle")
+    // df FIRST (a streaming partial-aggregated count), hot shingles
+    // dropped before any posting list is collected: the join and the
+    // groupBy below hash-partition on the same key, and every collected
+    // bucket is <= maxShingleDf elements by construction
+    val cold = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxShingleDf))
+      .select("shingle")
+    val cand = sh.join(cold, "shingle")
+      .groupBy("shingle")
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")).between(2, maxShingleDf))
       .select(col("ds")).as[Array[Long]]
       .flatMap { ds =>
         val s = ds.sorted
@@ -80,7 +122,7 @@ object Dedup {
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("shingle")).as("ss"),
            count(lit(1)).cast("long").as("sz"))
-    val out = cand
+    val repPairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a"),
                         col("sz").as("sz_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("ss").as("ss_b"),
@@ -90,14 +132,37 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "uni", "jaccard")
-      .orderBy("doc_a", "doc_b")
-    // sh feeds four consumers (df cap, both sides of the candidate
-    // self-join, the verification sets); materialize the small pair
-    // output eagerly so the big shingle cache can be released here
+    // expand representative pairs to member pairs (identical texts have
+    // identical shingle sets, so inter/uni/jaccard carry over), and add
+    // the intra-group pairs (jaccard exactly 1) for groups of >= 2
+    // exact copies with at least one shingle. The pair OUTPUT of an
+    // M-copy cluster is inherently M^2/2 rows — callers wanting linear
+    // output use exactGroups for those clusters.
+    val cross = repPairs
+      .join(membership.select(col("rep_id").as("doc_a"),
+                              col("doc_id").as("ma")), "doc_a")
+      .join(membership.select(col("rep_id").as("doc_b"),
+                              col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+              greatest(col("ma"), col("mb")).as("doc_b"),
+              col("inter"), col("uni"), col("jaccard"))
+    val dupGroups = membership.filter(col("members") >= 2)
+      .join(sets.filter(col("sz") >= 1)
+              .select(col("doc_id").as("rep_id"), col("sz")), "rep_id")
+    val intra = dupGroups.select(col("rep_id"), col("doc_id").as("ma"), col("sz"))
+      .join(dupGroups.select(col("rep_id"), col("doc_id").as("mb")), "rep_id")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+              col("sz").as("inter"), col("sz").as("uni"),
+              (col("sz").cast("double") / col("sz").cast("double")).as("jaccard"))
+    val out = cross.unionByName(intra).orderBy("doc_a", "doc_b")
+    // sh and membership feed multiple consumers; materialize the small
+    // pair output eagerly so the big caches can be released here
     // instead of leaking into the caller's session
     val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     sh.unpersist()
+    membership.unpersist()
     result
   }
 
@@ -157,15 +222,28 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate candidates: `numPerms` permutations in
     * bands of `rowsPerBand`; docs sharing any band bucket are verified
-    * with the signature-estimated similarity. */
+    * with the signature-estimated similarity.
+    *
+    * Scale shape: exact duplicates are pre-collapsed (collapseExact) so
+    * identical-text clusters — which would otherwise put M copies into
+    * EVERY band bucket and emit M^2/2 candidate rows per band — are
+    * resolved by a linear hash groupBy and re-expanded on output with
+    * est_jaccard = 1. Band buckets larger than `maxBucket` DISTINCT
+    * texts (pathological boilerplate collisions) are dropped before the
+    * bucket self-join, mirroring the n-gram op's df cap; pairs inside a
+    * dropped bucket can still surface through any of the other bands. */
   def minhashLsh(spark: SparkSession, docs: DataFrame, k: Int = 3,
                  numPerms: Int = 128, rowsPerBand: Int = 4,
-                 threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+                 threshold: Double = 0.8, seed: Long = 42L,
+                 maxBucket: Int = 1000): DataFrame = {
     import spark.implicits._
     val ps = spark.sparkContext.broadcast(perms(numPerms, seed))
+    val (repDocs, membership0) = collapseExact(docs)
+    val membership = membership0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // docs with no shingles have no MinHash signature (an all-MaxValue
     // sentinel signature would bucket every short doc together)
-    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val sigs = repDocs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val fps = shingles(text, k).map(fp64)
         if (fps.isEmpty) None
@@ -179,8 +257,15 @@ object Dedup {
         (b, slice.mkString(","), id)
       }
     }.toDF("band", "bucket", "doc_id")
-    val l = banded.as("l")
-    val r = banded.as("r")
+    // bucket sizes first (streaming count), oversized buckets dropped
+    // before the self-join materializes their pairs
+    val coldBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "bucket")
+    val coldBanded = banded.join(coldBuckets, Seq("band", "bucket"))
+    val l = coldBanded.as("l")
+    val r = coldBanded.as("r")
     val cand = l.join(r, col("l.band") === col("r.band") &&
                          col("l.bucket") === col("r.bucket") &&
                          col("l.doc_id") < col("r.doc_id"))
@@ -189,7 +274,7 @@ object Dedup {
     // estimate similarity from full signatures
     val sa = sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a")
     val sb = sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b")
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val repPairs = cand.join(sa, "doc_a").join(sb, "doc_b")
       .as[(Long, Long, Array[Long], Array[Long])]
       .map { case (b, a, sb2, sa2) =>
         var eq = 0
@@ -200,7 +285,29 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"),
               floor(col("est_jaccard") * 1000).cast("long").as("est_jaccard_x1000"))
-      .orderBy("doc_a", "doc_b")
+    // expand representative pairs to member pairs; intra-group pairs of
+    // exact copies (with a signature, i.e. >= 1 shingle) estimate 1.0
+    val cross = repPairs
+      .join(membership.select(col("rep_id").as("doc_a"),
+                              col("doc_id").as("ma")), "doc_a")
+      .join(membership.select(col("rep_id").as("doc_b"),
+                              col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+              greatest(col("ma"), col("mb")).as("doc_b"),
+              col("est_jaccard_x1000"))
+    val dupGroups = membership.filter(col("members") >= 2)
+      .join(sigs.select(col("doc_id").as("rep_id")), "rep_id")
+    val intra = dupGroups.select(col("rep_id"), col("doc_id").as("ma"))
+      .join(dupGroups.select(col("rep_id"), col("doc_id").as("mb")), "rep_id")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+              lit(1000L).as("est_jaccard_x1000"))
+    val out = cross.unionByName(intra).orderBy("doc_a", "doc_b")
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sigs.unpersist()
+    membership.unpersist()
+    result
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -222,22 +329,49 @@ object Dedup {
     out
   }
 
-  /** Near-dup pairs with Hamming distance <= maxDist, blocked on 16-bit
-    * segments (pigeonhole: dist <= 3 guarantees one equal segment). */
+  /** SimHash blocking tables per Manku, Jain & Sarma (WWW'07 §3): the 64
+    * bits split into 6 blocks (11,11,11,11,10,10 bits); one table per
+    * 3-block combination (C(6,3) = 20), keyed on the ~32-bit
+    * concatenation of those blocks. A pair at Hamming distance <= 3 has
+    * its differing bits inside at most 3 blocks, so at least 3 blocks
+    * are clean and some 3-combination of clean blocks exists — the pair
+    * collides in that table (pigeonhole-complete). Key cardinality
+    * ~2^32 PER TABLE grows with the corpus, unlike 16-bit segments
+    * (65,536 values, ~15k-doc average buckets at 10^9 docs and
+    * quadratic pair emission beyond). */
+  private val SimHashBlockBounds = Array(0, 11, 22, 33, 44, 54, 64)
+  private val SimHashCombos: Array[Array[Int]] =
+    (0 until 6).combinations(3).map(_.toArray).toArray
+
+  /** (table, key) blocking entries for one simhash. */
+  def simhashBlockKeys(h: Long): Array[(Int, Long)] =
+    Array.tabulate(SimHashCombos.length) { t =>
+      var key = 0L
+      SimHashCombos(t).foreach { b =>
+        val lo = SimHashBlockBounds(b)
+        val w = SimHashBlockBounds(b + 1) - lo
+        key = (key << w) | ((h >>> lo) & ((1L << w) - 1))
+      }
+      (t, key)
+    }
+
+  /** Near-dup pairs with Hamming distance <= maxDist, blocked on the
+    * Manku multi-table wide keys above; exact Hamming verification on
+    * colliding pairs. */
   def simhashPairs(spark: SparkSession, docs: DataFrame,
                    maxDist: Int = 3): DataFrame = {
     import spark.implicits._
-    require(maxDist <= 3, "4-segment blocking covers maxDist <= 3")
+    require(maxDist <= 3, "6-block/choose-3 tables cover maxDist <= 3")
     val hashed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simhash(t)) }
       .toDF("doc_id", "simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seg = hashed.as[(Long, Long)].flatMap { case (id, h) =>
-      (0 until 4).map(s => (s, (h >>> (s * 16)) & 0xffffL, id, h))
-    }.toDF("seg", "key", "doc_id", "simhash")
+      simhashBlockKeys(h).map { case (t, key) => (t, key, id, h) }
+    }.toDF("tbl", "key", "doc_id", "simhash")
     val l = seg.as("l")
     val r = seg.as("r")
-    l.join(r, col("l.seg") === col("r.seg") && col("l.key") === col("r.key") &&
+    l.join(r, col("l.tbl") === col("r.tbl") && col("l.key") === col("r.key") &&
               col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
               col("l.simhash").as("ha"), col("r.simhash").as("hb"))

@@ -28,6 +28,18 @@ object Oracle {
   private val postingsCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Unpersist and drop every cached postings DataFrame. Long-lived
+    * sessions touching several sf dirs otherwise accumulate
+    * MEMORY_AND_DISK copies indefinitely; callers like Bench release
+    * the cache between sections. */
+  def clearCache(): Unit =
+    postingsCache.keys.foreach { k =>
+      postingsCache.remove(k).foreach { df =>
+        try df.unpersist()
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
+
   /** (term, doc_id, tf) postings — persisted per sfDir. */
   def postings(spark: SparkSession, sfDir: String): DataFrame =
     postingsCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$sfDir", {

@@ -83,24 +83,25 @@ class BlockCodecsSpec extends AnyFunSuite {
 
   test("varint G8IU group byte format matches the published layout") {
     // Stepanov et al. SPIRE'11 / FastPFor VarIntG8IU: 1 descriptor + 8
-    // data bytes; LE varints never spanning groups; desc bit k set =
-    // data byte k ends an integer; trailing padding bytes have clear
-    // bits. First group of [300, 5, 70000, 0x01020304, ...]:
-    //   300   -> 2C 01        (ends at byte 1 -> bit 1)
-    //   5     -> 05           (ends at byte 2 -> bit 2)
-    //   70000 -> 70 11 01     (ends at byte 5 -> bit 5)
+    // data bytes; LE varints never spanning groups; the descriptor
+    // starts at 0xFF and bit k is CLEARED where data byte k ends an
+    // integer, so trailing padding bytes keep their bits set.
+    // First group of [300, 5, 70000, 0x01020304, ...]:
+    //   300   -> 2C 01        (ends at byte 1 -> clear bit 1)
+    //   5     -> 05           (ends at byte 2 -> clear bit 2)
+    //   70000 -> 70 11 01     (ends at byte 5 -> clear bit 5)
     //   0x01020304 needs 4 bytes, only 2 left -> padding 00 00
-    // desc = 0b00100110 = 0x26
+    // desc = 0xFF ^ 0b00100110 = 0xD9
     val vals = Array(300, 5, 70000, 0x01020304) ++ Array.fill(124)(7)
     val w = new ByteWriter()
     VarintCodec.encode(vals, -1, 128, w)
     val b = w.result()
-    assert((b(0) & 0xff) == 0x26, f"desc ${b(0)}%02x")
+    assert((b(0) & 0xff) == 0xd9, f"desc ${b(0)}%02x")
     assert(b.slice(1, 9).map(_ & 0xff).toSeq ==
            Seq(0x2c, 0x01, 0x05, 0x70, 0x11, 0x01, 0x00, 0x00))
-    // second group: the deferred 4-byte integer (bit 3) then four 7s
-    // filling bytes 4-7 (bits 4-7) -> desc 0xf8
-    assert((b(9) & 0xff) == 0xf8, f"desc2 ${b(9)}%02x")
+    // second group: the deferred 4-byte integer (clear bit 3) then four
+    // 7s filling bytes 4-7 (clear bits 4-7) -> desc 0xFF ^ 0xF8 = 0x07
+    assert((b(9) & 0xff) == 0x07, f"desc2 ${b(9)}%02x")
     assert(b.slice(10, 18).map(_ & 0xff).toSeq ==
            Seq(0x04, 0x03, 0x02, 0x01, 0x07, 0x07, 0x07, 0x07))
     val out = new Array[Int](128)

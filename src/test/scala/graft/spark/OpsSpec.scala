@@ -42,6 +42,61 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture should contain near-duplicates")
   }
 
+  test("ngram jaccard recovers exact-dup clusters hotter than the df cap") {
+    import spark.implicits._
+    // 30 identical copies: every shingle's naive df (30) exceeds the cap
+    // (5), so shingle candidates alone would miss the whole cluster —
+    // the exact-dup pre-collapse must recover all 435 pairs at jaccard 1
+    val n = 30
+    val rows = (0 until n).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta")) :+
+      (100L, "totally different text about sparks and queries here")
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(spark, docs, 3, 0.5,
+                                      maxShingleDf = 5, minCoOccur = 2)
+      .collect()
+    assert(got.length == n * (n - 1) / 2)
+    got.foreach { r =>
+      assert(r.getDouble(4) == 1.0)
+      assert(r.getLong(2) == r.getLong(3)) // inter == uni
+    }
+  }
+
+  test("minhash LSH recovers exact-dup clusters past the bucket cap") {
+    import spark.implicits._
+    val n = 20
+    val rows = (0 until n).map(i =>
+      (i.toLong, "one two three four five six seven eight nine ten")) :+
+      (100L, "entirely different words for the second distinct doc text")
+    val docs = rows.toDF("doc_id", "text")
+    // maxBucket=1: every multi-entry bucket is dropped, yet the
+    // identical-text cluster still yields all pairs via pre-collapse
+    val got = Dedup.minhashLsh(spark, docs, 3, 128, 4, 0.8, maxBucket = 1)
+      .collect()
+    assert(got.length == n * (n - 1) / 2)
+    got.foreach(r => assert(r.getLong(2) == 1000L))
+  }
+
+  test("simhash Manku blocking keys are pigeonhole-complete for dist<=3") {
+    val rnd = new scala.util.Random(7)
+    assert(Dedup.simhashBlockKeys(0L).length == 20) // C(6,3) tables
+    for (_ <- 0 until 500) {
+      val h = rnd.nextLong()
+      var h2 = h
+      (0 until rnd.nextInt(4)).foreach(_ => h2 ^= 1L << rnd.nextInt(64))
+      val shared = Dedup.simhashBlockKeys(h).toSet
+        .intersect(Dedup.simhashBlockKeys(h2).toSet)
+      assert(shared.nonEmpty, f"no shared table key for $h%x vs $h2%x")
+    }
+  }
+
+  test("ANN default plane count scales with corpus size") {
+    assert(Ann.defaultNumPlanes(100) == 5)
+    assert(Ann.defaultNumPlanes(500) == 5)
+    assert(Ann.defaultNumPlanes(1000000000L) == 22) // ceil(log2(1e9/256))
+    assert(Ann.defaultNumPlanes(Long.MaxValue / 2) == 30) // Int-key cap
+  }
+
   test("minhash LSH finds all high-similarity pairs (recall vs exact)") {
     val got = Dedup.minhashLsh(spark, documents, 3, 128, 4, 0.8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -136,14 +191,52 @@ class OpsSpec extends AnyFunSuite {
     assert(fp.forall(r => r.getLong(1) >= 0 && r.getLong(1) < TextOps.FpP))
   }
 
-  test("multimodal feature extraction: schema, shape, determinism") {
+  test("media decoders parse the real binary layouts") {
+    // PPM with a header comment (netpbm spec allows them)
+    val ppm = "P6\n# c\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, 0, 0, 0) // one white + one black pixel
+    val (w, h, f) = Multimodal.decodePpm(ppm).get
+    assert(w == 2 && h == 1)
+    assert(f(15) == 0.5f && f(0) == 0.5f)
+
+    val wav = Multimodal.wavPayload(16000, 100, 1L)
+    val (rate, fw) = Multimodal.decodeWav(wav).get
+    assert(rate == 16000)
+    assert(math.abs(fw.sum - 1.0f) < 1e-3)
+
+    val y4m = Multimodal.y4mPayload(4, 2, 3, 9L)
+    val (yw, yh, frames, fy) = Multimodal.decodeY4m(y4m).get
+    assert(yw == 4 && yh == 2 && frames == 3)
+    assert(math.abs(fy.sum - 1.0f) < 1e-3)
+
+    // cross-format magics must not decode
+    assert(Multimodal.decodePpm(wav).isEmpty)
+    assert(Multimodal.decodeWav(ppm).isEmpty)
+    assert(Multimodal.decodeY4m(wav).isEmpty)
+    // truncated raster is rejected, falls back to byte histogram
+    assert(Multimodal.decodePpm(ppm.dropRight(2)).isEmpty)
+  }
+
+  test("multimodal feature extraction: decoded metadata, shape, determinism") {
     val media = Multimodal.syntheticMedia(spark, sfDir)
+    val rows = media.collect()
+    val byId = rows.map(r => r.media_id -> r).toMap
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == documents.count())
     feats.foreach { f =>
+      val m = byId(f.media_id)
       assert(f.features.length == 16)
-      assert(Set("image", "audio", "video")(f.modality))
       assert(math.abs(f.features.sum - 1.0f) < 1e-3) // normalized histogram
+      assert(f.n_bytes == m.payload.length)
+      m.modality match {
+        case "image" =>
+          assert(f.dec_width == m.meta_width && f.dec_height == m.meta_height)
+        case "audio" =>
+          assert(f.dec_sample_rate == m.meta_sample_rate)
+        case "video" =>
+          assert(f.dec_width == m.meta_width && f.dec_height == m.meta_height)
+          assert(f.dec_frames == 1 + (f.media_id % 3).toInt)
+      }
     }
     val again = Multimodal.extractFeatures(media).collect()
       .sortBy(_.media_id).map(_.features.toSeq)

@@ -35,12 +35,21 @@ class StoreSpec extends AnyFunSuite {
     idxPartial.norms.filter(n => Set(0, 1, 2).contains(n.shard))
       .write.mode("append").partitionBy("shard").parquet(s"$dirPart/norms")
     for (s <- Seq(0, 1, 2)) {
-      val m = s"""{"shard": $s, "segments": 1, "postings": 1, "occ": 1, "bytes": 1, "inputDocs": 64, "wallMillis": 0, "indexType": "block_optpfor", "builtAtEpochMs": 0, "attempt": "partial"}"""
+      val m = s"""{"shard": $s, "segments": 1, "postings": 1, "occ": 1, "bytes": 1, "inputDocs": 64, "wallMillis": 0, "indexType": "block_optpfor", "builtAtEpochMs": 0, "attempt": "partial", "formatVersion": ${IndexStore.FormatVersion}}"""
       val p = new java.io.File(s"$dirPart/manifests"); p.mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dirPart/manifests/shard-$s.json"), m)
     }
     assert(IndexStore.validShards(spark, dirPart) == Set(0, 1, 2))
+
+    // a manifest from an older byte-format version must not count as
+    // done (its bytes would decode as garbage under current code) —
+    // resume below then rebuilds shard 2, still byte-identically
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirPart/manifests/shard-2.json"),
+      """{"shard": 2, "segments": 1, "postings": 1, "occ": 1, "bytes": 1, "inputDocs": 64, "wallMillis": 0, "indexType": "block_optpfor", "builtAtEpochMs": 0, "attempt": "partial", "formatVersion": 1}""")
+    assert(IndexStore.validShards(spark, dirPart) == Set(0, 1))
+    assert(IndexStore.validShards(spark, dirPart, Some("ef")).isEmpty)
 
     // resume: should build only the remaining shards
     val resumed = IndexStore.buildResumable(spark, docs(), "block_optpfor",
