@@ -223,8 +223,24 @@ object Bench {
       System.err.println(f"[bench +${(System.nanoTime() - tStart) / 1e9}%.0fs] $msg")
     val spark = newSession(cpus)
     stamp("session up; timing driver-contract queries")
-    // driver-contract query timings
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The bench times the OPERATOR WORKLOAD gates only. Pure
+    // verification gates — byte-identity probes, agreement/selfcheck
+    // zero-mismatch gates, the 8-type roundtrip sweep, the brute-force
+    // completeness crossJoins, and the kernel micro-bench gate — belong
+    // to the CORRECTNESS surface (graft.Verify runs them all); timing
+    // them here costs 300+ s at sf0.1 and starves the scaling section
+    // of rounds, which is what buys a quiet adjacent pair on this host.
+    val headline = Set(
+      "ii_postings", "ii_dictionary", "ii_doc_lens", "ii_stats",
+      "ii_and_count", "ii_or_count", "ii_topk_tf", "ii_bm25_top10_sql",
+      "ii_wand_top10", "ii_ranked_and_top10",
+      "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_embedding_cosine",
+      "dedup_embedding_cosine_lsh", "ann_cosine_top5", "ann_lsh_top5",
+      "text_quality", "text_lang_id", "text_token_counts",
+      "text_fingerprint", "mm_features")
+    val results = SparkEntry.queries.filter(q => headline(q._1))
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = try { time(fn(spark, sfDir).count()) }
                      catch { case scala.util.control.NonFatal(e) =>
                        stamp(s"$name FAILED: ${e.getClass.getName}: ${e.getMessage}")
@@ -233,8 +249,10 @@ object Bench {
       name -> sec
     }
 
-    // ds2i-protocol query latency on the in-memory Zipf collection
-    val perf = try opPerfTest()
+    // ds2i-protocol query latency on the in-memory Zipf collection.
+    // 6 rounds at 10k (one round is ~1.5 s — cheap insurance against a
+    // disturbed window); 3 at 200k where a round costs ~1 min.
+    val perf = try opPerfTest(rounds = 6)
                catch { case scala.util.control.NonFatal(e) =>
                  stamp(s"opPerfTest FAILED: ${e.getMessage}")
                  Map.empty[String, Map[String, Double]] }

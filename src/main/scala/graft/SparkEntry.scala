@@ -44,6 +44,11 @@ object SparkEntry {
   final val NgramMaxShingleDf = 200
   /** Minimum shared cold shingles before a pair is verified. */
   final val NgramMinCoOccur = 2
+  /** Embedding-cosine near-dup threshold, quantized: pairs with
+    * floor(cos*1000) >= this. 350 is non-vacuous on the fixture
+    * embeddings (~270 pairs at sf0.01, max pair cos ~0.51) while the
+    * random-pair mass (q90 ~0.16) stays out. */
+  final val CosineDupMinQ = 350L
 
   /** The same query set as SQL literal rows (query_id, term). */
   def queryValuesSql: String =
@@ -465,6 +470,34 @@ object SparkEntry {
         .toDF("probe", "mismatches").orderBy("probe")
     }
 
+    // embedding-cosine near-dup: exact O(N^2) baseline (DuckDB-gated),
+    // LSH-bucketed scale path, and the invariant probes — the LSH output
+    // must be an exact SUBSET of the brute-force pairs (its re-rank
+    // recomputes the exact cosine) with recall above a deterministic
+    // floor (fixed seed)
+    m += "dedup_embedding_cosine" -> ((s, dir) =>
+      graft.ops.Ann.cosinePairs(s, embeddings(s, dir), CosineDupMinQ))
+
+    m += "dedup_embedding_cosine_lsh" -> ((s, dir) =>
+      graft.ops.Ann.lshCosinePairs(s, embeddings(s, dir), CosineDupMinQ))
+
+    m += "dedup_embedding_cosine_selfcheck" -> { (s, dir) =>
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val exact = graft.ops.Ann.cosinePairs(s, emb, CosineDupMinQ)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = graft.ops.Ann.lshCosinePairs(s, emb, CosineDupMinQ)
+      val notSubset = lsh.join(exact, Seq("vec_a", "vec_b", "cos_q"),
+                               "left_anti").count()
+      val total = exact.count()
+      val hits = lsh.count()
+      exact.unpersist()
+      val recall1000 = if (total == 0) 1000L else hits * 1000L / total
+      Seq(("exact_subset", notSubset),
+          ("recall_ge_700", if (recall1000 >= 700L) 0L else 1L))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
+
     m += "text_quality" -> ((s, dir) => graft.ops.TextOps.quality(documents(s, dir)))
 
     m += "text_lang_id" -> ((s, dir) => graft.ops.TextOps.langId(documents(s, dir)))
@@ -767,6 +800,27 @@ object SparkEntry {
         |SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
         |       neighbor_id::BIGINT AS neighbor_id, cos_q
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+        |flat AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS i, v FROM e),
+        |vals AS (SELECT vec_id, i, v[i]::DOUBLE AS x FROM flat),
+        |nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS n FROM vals GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x*b.x) AS dot
+        |  FROM vals a JOIN vals b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b,
+        |       floor(1000 * dot / (na.n * nb.n))::BIGINT AS cos_q
+        |FROM dots
+        |JOIN nrm na ON na.vec_id = vec_a
+        |JOIN nrm nb ON nb.vec_id = vec_b
+        |WHERE floor(1000 * dot / (na.n * nb.n)) >= $CosineDupMinQ
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_embedding_cosine_selfcheck" ->
+      ("SELECT * FROM (VALUES ('exact_subset', 0::BIGINT), " +
+       "('recall_ge_700', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
 
     "text_quality" ->
       """WITH toks AS (

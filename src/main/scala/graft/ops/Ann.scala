@@ -47,6 +47,86 @@ object Ann {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact baseline: every
+    * (vec_a < vec_b) with floor(cos*1000) >= minCosQ. O(N^2) over the
+    * corpus — the labeled exact oracle path that the DuckDB gate
+    * mirrors; production corpora use lshCosinePairs. */
+  def cosinePairs(spark: SparkSession, embeddings: DataFrame,
+                  minCosQ: Long): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"),
+                              col("embedding").as("va"),
+                              norm(col("embedding")).as("na"))
+    val b = embeddings.select(col("vec_id").as("vec_b"),
+                              col("embedding").as("vb"),
+                              norm(col("embedding")).as("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_q",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1000)
+          .cast("long"))
+      .filter(col("cos_q") >= minCosQ)
+      .select(col("vec_a").cast("long").as("vec_a"),
+              col("vec_b").cast("long").as("vec_b"), col("cos_q"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Embedding-cosine near-dup, scale path: multi-table hyperplane
+    * buckets generate candidates (same family as lshTopK), exact cosine
+    * re-ranks and filters — so every emitted pair's cos_q is EXACT and
+    * the output is a subset of cosinePairs; only recall is approximate.
+    * Buckets larger than maxBucket distinct vectors are dropped before
+    * the self-join (hot-bucket cap, as in the text dedup ops); a pair
+    * in a dropped bucket can still surface via the other tables. */
+  def lshCosinePairs(spark: SparkSession, embeddings: DataFrame,
+                     minCosQ: Long, numPlanes: Int = 0,
+                     numTables: Int = 24, seed: Long = 42L,
+                     maxBucket: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val planeCount =
+      if (numPlanes > 0) numPlanes
+      else defaultNumPlanes(embeddings.count())
+    val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
+    val tables = spark.sparkContext.broadcast(
+      Array.tabulate(numTables)(t => hyperplanes(planeCount, dim, seed + t)))
+    val sigs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        tables.value.indices.map(t => (t, signature(v, tables.value(t)), id))
+      }.toDF("table", "bucket", "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val coldBuckets = sigs.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("table", "bucket")
+    val cold = sigs.join(coldBuckets, Seq("table", "bucket"))
+    val cand = cold.select(col("table"), col("bucket"),
+                           col("vec_id").as("vec_a"))
+      .join(cold.select(col("table"), col("bucket"),
+                        col("vec_id").as("vec_b")),
+            Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    val a = embeddings.select(col("vec_id").as("vec_a"),
+                              col("embedding").as("va"),
+                              norm(col("embedding")).as("na"))
+    val b = embeddings.select(col("vec_id").as("vec_b"),
+                              col("embedding").as("vb"),
+                              norm(col("embedding")).as("nb"))
+    val out = cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos_q",
+        floor(dot(col("va"), col("vb")) / (col("na") * col("nb")) * 1000)
+          .cast("long"))
+      .filter(col("cos_q") >= minCosQ)
+      .select(col("vec_a").cast("long").as("vec_a"),
+              col("vec_b").cast("long").as("vec_b"), col("cos_q"))
+      .orderBy("vec_a", "vec_b")
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sigs.unpersist()
+    result
+  }
+
   /** Deterministic random hyperplanes (Gaussian, seeded). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -172,6 +172,38 @@ class OpsSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@5 $mean too low: $recalls")
   }
 
+  test("embedding cosine near-dup pairs match brute force") {
+    val got = Ann.cosinePairs(spark, embeddings, 300L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cosQ(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      math.floor(1000 * d / (math.sqrt(na) * math.sqrt(nb))).toLong
+    }
+    val expected = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      q = cosQ(va, vb) if q >= 300L
+    } yield (a, b, q)).toSet
+    assert(got.toSet == expected)
+    assert(got.nonEmpty, "threshold should be non-vacuous on the fixture")
+  }
+
+  test("LSH cosine pairs are an exact subset of brute force, good recall") {
+    val exact = Ann.cosinePairs(spark, embeddings, 300L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = Ann.lshCosinePairs(spark, embeddings, 300L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(lsh.subsetOf(exact), s"non-exact pairs: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("text ops are deterministic and self-consistent") {
     val q = TextOps.quality(documents).collect()
     assert(q.length == documents.count())
