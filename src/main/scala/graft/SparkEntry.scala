@@ -498,6 +498,56 @@ object SparkEntry {
         .toDF("probe", "mismatches").orderBy("probe")
     }
 
+    // Structured-Streaming agreement: the documents table replayed as 5
+    // single-file micro-batches must answer exactly like batch —
+    // state-store dedup keeps one survivor per distinct text, the
+    // watermarked windowed aggregation reproduces the batch time
+    // buckets, and flatMapGroupsWithState running counters converge to
+    // the batch groupBy counts
+    m += "stream_agreement" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.Streaming
+      val src = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      Streaming.stageChunks(s, dir, src, chunks = 5)
+      val docs = documents(s, dir)
+
+      val kept = Streaming.runToCompletion(s, src, Streaming.dedupStream, "append")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batchHashes = docs.select(md5($"text").as("text_hash")).distinct()
+      val dupBad = kept.groupBy("text_hash").count().filter($"count" > 1).count()
+      val keptHashes = kept.select("text_hash").distinct()
+      val missing = batchHashes.join(keptHashes, Seq("text_hash"), "left_anti").count()
+      val extra = keptHashes.join(batchHashes, Seq("text_hash"), "left_anti").count()
+      kept.unpersist()
+      val dedupBad = dupBad + missing + extra
+
+      def symDiff(a: DataFrame, b: DataFrame): Long =
+        a.unionAll(b).groupBy(a.columns.map(col).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("c")).filter($"c" =!= 2).count()
+
+      val win = Streaming.runToCompletion(s, src, Streaming.windowedLangStats,
+                                          "complete")
+        .select($"window_start", $"lang", $"n_docs", $"sum_chars")
+      val batchWin = docs
+        .withColumn("window_start",
+          (floor((lit(Streaming.EpochSeconds) +
+                  $"doc_id" * Streaming.SecondsPerDoc) / 60) * 60).cast("long"))
+        .groupBy("window_start", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select($"window_start", $"lang", $"n_docs", $"sum_chars")
+      val winBad = symDiff(win, batchWin)
+
+      val run = Streaming.runToCompletion(s, src,
+        st => Streaming.runningLangCounts(st).toDF(), "append")
+      val runFinal = run.groupBy("lang").agg(max($"running").as("n"))
+      val batchCounts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val runBad = symDiff(runFinal, batchCounts)
+
+      Seq(("dedup_first_seen", dedupBad), ("running_state", runBad),
+          ("windowed_counts", winBad))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
+
     m += "text_quality" -> ((s, dir) => graft.ops.TextOps.quality(documents(s, dir)))
 
     m += "text_lang_id" -> ((s, dir) => graft.ops.TextOps.langId(documents(s, dir)))
@@ -821,6 +871,11 @@ object SparkEntry {
     "dedup_embedding_cosine_selfcheck" ->
       ("SELECT * FROM (VALUES ('exact_subset', 0::BIGINT), " +
        "('recall_ge_700', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
+
+    "stream_agreement" ->
+      ("SELECT * FROM (VALUES ('dedup_first_seen', 0::BIGINT), " +
+       "('running_state', 0::BIGINT), ('windowed_counts', 0::BIGINT)) " +
+       "AS t(probe, mismatches) ORDER BY probe"),
 
     "text_quality" ->
       """WITH toks AS (
