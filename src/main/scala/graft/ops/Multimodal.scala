@@ -178,6 +178,7 @@ object Multimodal {
     var nSamples = 0L
     while (pos + 8 <= p.length) {
       val size = u32(pos + 4)
+      if (size < 0) return None // corrupt chunk size: abort the walk
       if (ascii(pos, "fmt ") && pos + 8 + 16 <= p.length) {
         // PCM (1), mono, 16-bit is what we synthesize; reject others
         if (u16(pos + 8) == 1 && u16(pos + 10) == 1 && u16(pos + 22) == 16) {
