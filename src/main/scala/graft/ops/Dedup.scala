@@ -357,28 +357,56 @@ object Dedup {
 
   /** Near-dup pairs with Hamming distance <= maxDist, blocked on the
     * Manku multi-table wide keys above; exact Hamming verification on
-    * colliding pairs. */
+    * colliding pairs. Exact duplicates are pre-collapsed first: an
+    * M-copy identical-text cluster would otherwise collide in EVERY
+    * table (20 * M^2/2 candidate rows); identical text means identical
+    * simhash, so intra-group pairs are emitted directly at distance 0
+    * and cross-group distances carry over from the representatives.
+    * Blocking stays pigeonhole-COMPLETE — no bucket cap here, because
+    * exactness (every dist<=maxDist pair found) is this operator's
+    * contract, gate-verified against brute force. */
   def simhashPairs(spark: SparkSession, docs: DataFrame,
                    maxDist: Int = 3): DataFrame = {
     import spark.implicits._
     require(maxDist <= 3, "6-block/choose-3 tables cover maxDist <= 3")
-    val hashed = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val (repDocs, membership0) = collapseExact(docs)
+    val membership = membership0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hashed = repDocs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, simhash(t)) }
       .toDF("doc_id", "simhash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seg = hashed.as[(Long, Long)].flatMap { case (id, h) =>
       simhashBlockKeys(h).map { case (t, key) => (t, key, id, h) }
     }.toDF("tbl", "key", "doc_id", "simhash")
     val l = seg.as("l")
     val r = seg.as("r")
-    l.join(r, col("l.tbl") === col("r.tbl") && col("l.key") === col("r.key") &&
-              col("l.doc_id") < col("r.doc_id"))
+    val repPairs = l.join(r, col("l.tbl") === col("r.tbl") &&
+                             col("l.key") === col("r.key") &&
+                             col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
               col("l.simhash").as("ha"), col("r.simhash").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
-      .orderBy("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              col("hamming").cast("long").as("hamming"))
+    val cross = repPairs
+      .join(membership.select(col("rep_id").as("doc_a"),
+                              col("doc_id").as("ma")), "doc_a")
+      .join(membership.select(col("rep_id").as("doc_b"),
+                              col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+              greatest(col("ma"), col("mb")).as("doc_b"), col("hamming"))
+    val dupGroups = membership.filter(col("members") >= 2)
+    val intra = dupGroups.select(col("rep_id"), col("doc_id").as("ma"))
+      .join(dupGroups.select(col("rep_id"), col("doc_id").as("mb")), "rep_id")
+      .filter(col("ma") < col("mb"))
+      .select(col("ma").as("doc_a"), col("mb").as("doc_b"),
+              lit(0L).as("hamming"))
+    val out = cross.unionByName(intra).orderBy("doc_a", "doc_b")
+    val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    membership.unpersist()
+    result
   }
 }

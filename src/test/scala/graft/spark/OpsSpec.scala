@@ -77,6 +77,20 @@ class OpsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getLong(2) == 1000L))
   }
 
+  test("simhash pre-collapses exact-dup clusters to distance-0 pairs") {
+    import spark.implicits._
+    val n = 30
+    val rows = (0 until n).map(i =>
+      (i.toLong, "same text repeated across the whole cluster here")) :+
+      (100L, "an unrelated document with distinct vocabulary entirely")
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(spark, docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val intra = got.filter(p => p._1 < n && p._2 < n)
+    assert(intra.length == n * (n - 1) / 2)
+    intra.foreach(p => assert(p._3 == 0L))
+  }
+
   test("simhash Manku blocking keys are pigeonhole-complete for dist<=3") {
     val rnd = new scala.util.Random(7)
     assert(Dedup.simhashBlockKeys(0L).length == 20) // C(6,3) tables
