@@ -364,7 +364,14 @@ object Bench {
           val l = buildThroughput(coresLow, roundDocs, corpusDir, benchDocs)
           val h = buildThroughput(coresHigh, roundDocs, corpusDir, benchDocs)
           lastRoundSec = (System.nanoTime() - r0) / 1e9
-          if (l > 0) tpLowEst = l
+          // pessimistic estimate across BOTH halves: the window is
+          // intermittent, and trusting a lucky low-side sample while
+          // the high side crawled re-inflates the next round into the
+          // disturbance (observed: one such round cost 725 s)
+          val lowImplied =
+            if (h > 0) h * coresLow / coresHigh else Double.MaxValue
+          if (l > 0 || h > 0)
+            tpLowEst = math.min(if (l > 0) l else Double.MaxValue, lowImplied)
           rounds += ((l, h, roundDocs))
           round += 1
           stamp(f"scaling round $round: docs=$roundDocs tpLow=$l%.0f tpHigh=$h%.0f eff=${eff(l, h)}%.3f best=${bestRoundEff}%.3f")
