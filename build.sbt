@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single stdout JSON line from the tail
+// of the combined sbt output. sbt's default LoggedOutput strategy
+// prefixes every forked-stdout line with "[info] " and appends a
+// "[success] Total time..." line after the run — both of which defeat a
+// parser looking for a raw JSON line (BENCH_r01-r03 all parsed:null
+// with the JSON sitting verbatim in the tail). StdoutOutput inherits
+// the child's stdout/stderr raw; showSuccess kills the trailer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the shell command loop, not by a task — sbt's
+// unused-key lint cannot see that.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
