@@ -41,6 +41,70 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Per-build host-weather gauge. The box shows minutes-long
+    * interference windows (identical builds 72 s vs 445 s) plus a
+    * turbo-clock wrinkle (single-core speed is ~1.6x higher when only 4
+    * cores are busy), so a raw (low, high) throughput pair conflates
+    * scaling with weather. The gauge times a FIXED single-thread spin
+    * workload repeatedly on a background thread while a build runs; the
+    * median spin time is a direct per-round measure of effective
+    * per-core speed during that build. Normalizing each side's
+    * throughput by its spin time separates parallel-scaling loss from
+    * host weather: eff_norm = eff * (spin_high / spin_low). */
+  private object Spin {
+    @volatile var blackhole: Long = 0L
+    /** One fixed spin (~20-40 ms quiet): 2^24 rounds of 64-bit mixing. */
+    def once(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 24)) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        x ^= x >>> 31
+        i += 1
+      }
+      blackhole = x
+      (System.nanoTime() - t0) / 1e6
+    }
+    // JIT-compile the spin before any measured use
+    def warm(): Unit = { var i = 0; while (i < 5) { once(); i += 1 } }
+  }
+
+  private final class WeatherGauge {
+    private val samples =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]
+    @volatile private var running = true
+    private val th = new Thread(() => {
+      while (running) {
+        samples.add(Spin.once())
+        try Thread.sleep(250)
+        catch { case _: InterruptedException => }
+      }
+    }, "weather-gauge")
+    th.setDaemon(true)
+    th.start()
+    /** Stop sampling; median spin ms (0 if the build ended too fast). */
+    def stop(): Double = {
+      running = false
+      th.interrupt()
+      th.join(2000)
+      val a = samples.toArray.map(_.asInstanceOf[java.lang.Double].doubleValue)
+        .sorted
+      if (a.isEmpty) 0.0 else a(a.length / 2)
+    }
+  }
+
+  /** Run `f` with a weather gauge sampling alongside; returns
+    * (result, medianSpinMs). The gauge is stopped even when `f` throws —
+    * a leaked sampler would keep one core spinning for the rest of the
+    * run and poison every later measurement. */
+  private def gauged[T](f: => T): (T, Double) = {
+    val g = new WeatherGauge
+    var spin = 0.0
+    val r = try f finally { spin = g.stop() }
+    (r, spin)
+  }
+
   def buildThroughputPublic(cores: Int, nDocs: Int): Double =
     buildThroughput(cores, nDocs, prepCorpus(nDocs, 32))
 
@@ -222,7 +286,13 @@ object Bench {
     val tStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "400000").toInt
+    // SMOKE mode (not used by the driver): a minutes-scale end-to-end
+    // pass — tiny perf section, one scaling round, no query gates — so
+    // the JSON emission + stdout capture contract can be validated
+    // without a 40-minute run.
+    val smoke = sys.env.get("SPARK_GRAFT_BENCH_SMOKE").contains("1")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
+                                      if (smoke) "20000" else "400000").toInt
     // hard wall-time budget for the whole bench: the scaling section
     // yields whatever rounds fit, and the JSON line is always emitted
     // (round 1 timed out at the driver with the line never printed)
@@ -249,7 +319,9 @@ object Bench {
       "dedup_embedding_cosine_lsh", "ann_cosine_top5", "ann_lsh_top5",
       "text_quality", "text_lang_id", "text_token_counts",
       "text_fingerprint", "mm_features")
-    val results = SparkEntry.queries.filter(q => headline(q._1))
+    val results =
+      (if (smoke) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+       else SparkEntry.queries.filter(q => headline(q._1)))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = try { time(fn(spark, sfDir).count()) }
                      catch { case scala.util.control.NonFatal(e) =>
@@ -262,27 +334,34 @@ object Bench {
     // ds2i-protocol query latency on the in-memory Zipf collection.
     // 6 rounds at 10k (one round is ~1.5 s — cheap insurance against a
     // disturbed window); 3 at 200k where a round costs ~1 min.
-    val perf = try opPerfTest(rounds = 6)
-               catch { case scala.util.control.NonFatal(e) =>
+    val perf = try {
+      if (smoke) opPerfTest(numDocs = 2000, rounds = 1)
+      else opPerfTest(rounds = 6)
+    } catch { case scala.util.control.NonFatal(e) =>
                  stamp(s"opPerfTest FAILED: ${e.getMessage}")
                  Map.empty[String, Map[String, Double]] }
     stamp("10k-doc op_perftest done")
     // large-collection section: pruning kernels at 200k docs, where block
     // skipping must pay for itself (bmw mean <= wand mean is the target)
     val perfLarge =
-      try opPerfTest(numDocs = 200000, ops = PruningOps)
-      catch { case scala.util.control.NonFatal(e) =>
+      try {
+        if (smoke) Map.empty[String, Map[String, Double]]
+        else opPerfTest(numDocs = 200000, ops = PruningOps)
+      } catch { case scala.util.control.NonFatal(e) =>
         stamp(s"opPerfTest(200k) FAILED: ${e.getMessage}")
         Map.empty[String, Map[String, Double]] }
     stamp("200k-doc op_perftest done")
 
     // distributed throughput: all 16 fixed queries, one job
     val distQps = try {
-      val idx = SparkEntry.indexOf(spark, sfDir)
-      val (_, sec) = time {
-        Engine.topK(spark, idx, SparkEntry.engineQueries, "wand", 10).count()
+      if (smoke) -1.0
+      else {
+        val idx = SparkEntry.indexOf(spark, sfDir)
+        val (_, sec) = time {
+          Engine.topK(spark, idx, SparkEntry.engineQueries, "wand", 10).count()
+        }
+        SparkEntry.engineQueries.length / sec
       }
-      SparkEntry.engineQueries.length / sec
     } catch { case scala.util.control.NonFatal(e) =>
       stamp(s"distributed qps FAILED: ${e.getMessage}"); -1.0 }
     Oracle.clearCache() // release cached postings before the scaling runs
@@ -306,9 +385,13 @@ object Bench {
     // reported in the JSON; the headline number is the best round.
     var warm = 0.0
     var round = 0
-    // (tpLow, tpHigh, roundDocs): efficiency is a per-round ratio, so
-    // rounds at different doc counts stay comparable
-    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
+    // One scaling round: the temporally-adjacent (low, high) throughput
+    // pair at a common doc count, plus the median weather-gauge spin ms
+    // measured DURING each build — the per-round record the judge asked
+    // for so an artifact produced inside a disturbance window can prove
+    // the round was poisoned rather than the scaling bad.
+    final case class RoundSample(l: Double, h: Double, docs: Int,
+                                 spinL: Double, spinH: Double)
     // up to 12 sampling rounds: the budget check bounds wall time, and
     // disturbance windows last minutes — more samples, not longer
     // builds, is what buys a quiet adjacent pair (observed best-round
@@ -316,22 +399,43 @@ object Bench {
     // a quiet run exits after ~3 rounds via the >=0.82 early stop, so
     // the higher cap only spends time when the host is disturbed and
     // the extra rounds are exactly what is needed)
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "12").toInt
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[RoundSample]
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS",
+                                      if (smoke) "1" else "12").toInt
     def eff(l: Double, h: Double): Double =
       if (l <= 0) 0.0 else (h / l) * (coresLow.toDouble / coresHigh)
+    // weather-normalized efficiency: spin time is inversely proportional
+    // to effective per-core speed, so multiplying each side's throughput
+    // by its spin time cancels the host-weather factor —
+    // eff_norm = eff * (spinH / spinL). This corrects BOTH directions:
+    // interference during the high build (spinH inflated -> raw eff
+    // understated) and the 4-busy-core turbo boost (spinL deflated ->
+    // raw eff structurally understated on an otherwise quiet host).
+    def effNorm(r: RoundSample): Double =
+      if (r.spinL > 0 && r.spinH > 0) eff(r.l, r.h) * (r.spinH / r.spinL)
+      else eff(r.l, r.h)
     // parallel efficiency cannot legitimately exceed 1: a round reporting
     // eff > ~1 means the low-cores window was interference-poisoned, not
     // that scaling is superlinear — such rounds are reported but never
-    // selected as the headline
-    def plausible(p: (Double, Double, Int)): Boolean = {
-      val e = eff(p._1, p._2)
+    // selected as the headline (the same cap applies to the normalized
+    // number: a normalization that "fixes" a round past 1.05 is evidence
+    // the single-thread gauge did not see the disturbance the build saw)
+    def plausibleBy(f: RoundSample => Double)(p: RoundSample): Boolean = {
+      val e = f(p)
       e > 0.0 && e <= 1.05
     }
-    def bestRoundEff: Double = {
-      val ok = rounds.filter(plausible)
-      if (ok.isEmpty) 0.0 else ok.map(p => eff(p._1, p._2)).max
+    def bestBy(f: RoundSample => Double): Double = {
+      val ok = rounds.filter(plausibleBy(f))
+      if (ok.isEmpty) 0.0 else ok.map(f).max
     }
+    def bestRoundEff: Double = bestBy(p => eff(p.l, p.h))
+    // early-stop evidence: raw OR normalized — on a quiet host whose
+    // 4-core turbo structurally depresses the raw pair, the normalized
+    // number is the one that clears the bar, and once either does there
+    // is nothing more for extra rounds to prove
+    def bestEvidence: Double = math.max(bestRoundEff, bestBy(effNorm))
     try {
+      Spin.warm()
       val corpusDir = prepCorpus(benchDocs, cpus)
       stamp(s"scaling corpus prepped at $corpusDir")
       // warm at half the corpus: warmup only exists for JIT + the first
@@ -344,66 +448,105 @@ object Bench {
       // ADAPTIVE round sizing: a poisoned 4-core full-corpus build can
       // take 800+ s (measured) and eat the whole scaling budget as ONE
       // implausible round. Size each round to ~90 s of low-cores work
-      // at the latest low-side throughput estimate, clamped to
-      // [benchDocs/4, benchDocs]; quiet weather returns the estimate —
-      // and the round size — to the full corpus within one round. At
-      // the floor, fixed per-build overhead (~5-10 s) stays a small
-      // fraction of the disturbed-window wall time, so down-sized
-      // rounds are not overhead-capped.
+      // at the latest low-side throughput estimate, capped at the full
+      // corpus; quiet weather returns the estimate — and the round
+      // size — to the full corpus within one round.
       var tpLowEst = math.max(1.0, warm * coresLow / coresHigh)
+      // worst low-side throughput ever observed this run (direct or
+      // implied from a high build): the sizing floor for the BUDGET cap.
+      // Round 4 of the r3 artifact was sized off a lucky 2,320 docs/s
+      // estimate and then hit a window running at 122 docs/s — 1,863 s
+      // for a round predicted at 37 s, 880 s past the whole budget. The
+      // budget cap sizes each round so that even at the worst observed
+      // throughput the round roughly fits the remaining budget.
+      var tpLowWorst = tpLowEst
       while (continue && round < maxRounds &&
-             (round < 2 || bestRoundEff < 0.82)) {
+             (round < 2 || bestEvidence < 0.82)) {
+        val remaining = budgetSec - elapsedSec
+        // low + high halves at worst-case low-side speed ~= 1.25x the
+        // low half alone; keep a 2x cushion on top
+        val byBudget = (remaining * tpLowWorst / 2.5).toInt
         if (round > 0 && elapsedSec + lastRoundSec * 1.15 > budgetSec) {
           stamp(f"scaling stopped by budget after $round rounds " +
                 f"(elapsed $elapsedSec%.0fs of $budgetSec%.0fs)")
           continue = false
+        } else if (byBudget < 5000) {
+          stamp(f"scaling stopped: remaining budget $remaining%.0fs too " +
+                f"small for a meaningful round at ${tpLowWorst}%.0f docs/s")
+          continue = false
         } else {
           val roundDocs = math.min(benchDocs,
-            math.max(benchDocs / 4, (tpLowEst * 90).toInt))
+            math.min(byBudget,
+                     math.max(benchDocs / 4, (tpLowEst * 90).toInt)))
           val r0 = System.nanoTime()
-          val l = buildThroughput(coresLow, roundDocs, corpusDir, benchDocs)
-          val h = buildThroughput(coresHigh, roundDocs, corpusDir, benchDocs)
-          lastRoundSec = (System.nanoTime() - r0) / 1e9
-          // pessimistic estimate across BOTH halves: the window is
-          // intermittent, and trusting a lucky low-side sample while
-          // the high side crawled re-inflates the next round into the
-          // disturbance (observed: one such round cost 725 s)
-          val lowImplied =
-            if (h > 0) h * coresLow / coresHigh else Double.MaxValue
-          if (l > 0 || h > 0)
-            tpLowEst = math.min(if (l > 0) l else Double.MaxValue, lowImplied)
-          rounds += ((l, h, roundDocs))
-          round += 1
-          stamp(f"scaling round $round: docs=$roundDocs tpLow=$l%.0f tpHigh=$h%.0f eff=${eff(l, h)}%.3f best=${bestRoundEff}%.3f")
+          val (l, spinL) =
+            gauged(buildThroughput(coresLow, roundDocs, corpusDir, benchDocs))
+          // re-check the budget BETWEEN the two halves: when a window
+          // opens mid-round the low build alone can blow the budget,
+          // and the high half would only dig deeper (r3: +151 s after
+          // already 729 s over)
+          if (elapsedSec > budgetSec) {
+            stamp(f"scaling stopped mid-round by budget " +
+                  f"(elapsed $elapsedSec%.0fs of $budgetSec%.0fs); " +
+                  f"low half measured ${l}%.0f docs/s, high half skipped")
+            rounds += RoundSample(l, 0.0, roundDocs, spinL, 0.0)
+            round += 1
+            continue = false
+          } else {
+            val (h, spinH) =
+              gauged(buildThroughput(coresHigh, roundDocs, corpusDir, benchDocs))
+            lastRoundSec = (System.nanoTime() - r0) / 1e9
+            // pessimistic estimate across BOTH halves: the window is
+            // intermittent, and trusting a lucky low-side sample while
+            // the high side crawled re-inflates the next round into the
+            // disturbance (observed: one such round cost 725 s)
+            val lowImplied =
+              if (h > 0) h * coresLow / coresHigh else Double.MaxValue
+            if (l > 0 || h > 0) {
+              tpLowEst = math.min(if (l > 0) l else Double.MaxValue, lowImplied)
+              tpLowWorst = math.min(tpLowWorst, tpLowEst)
+            }
+            val r = RoundSample(l, h, roundDocs, spinL, spinH)
+            rounds += r
+            round += 1
+            stamp(f"scaling round $round: docs=$roundDocs tpLow=$l%.0f " +
+                  f"tpHigh=$h%.0f spinLow=${spinL}%.1fms spinHigh=${spinH}%.1fms " +
+                  f"eff=${eff(l, h)}%.3f effNorm=${effNorm(r)}%.3f best=${bestRoundEff}%.3f")
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(e) =>
       stamp(s"scaling FAILED: ${e.getMessage}")
     }
     // efficiency = (T_N * N) / (T_4N * 4N) = (tpHigh / tpLow) * (N / 4N),
-    // from the best temporally-adjacent round
+    // from the best temporally-adjacent round; the normalized variant
+    // additionally cancels per-round host weather via the spin gauge
     val efficiency = bestRoundEff
+    val efficiencyNorm = bestBy(effNorm)
     val bestRound = {
-      val ok = rounds.filter(plausible)
-      if (ok.nonEmpty) ok.maxBy(p => eff(p._1, p._2))
+      val ok = rounds.filter(plausibleBy(p => eff(p.l, p.h)))
+      if (ok.nonEmpty) ok.maxBy(p => eff(p.l, p.h))
       else if (rounds.nonEmpty) rounds.last
-      else (0.0, 0.0, 0)
+      else RoundSample(0.0, 0.0, 0, 0.0, 0.0)
     }
-    val tpLow = bestRound._1
-    val tpHigh = bestRound._2
+    val tpLow = bestRound.l
+    val tpHigh = bestRound.h
 
     val qJson = results.map { case (k, v) => s""""$k":${jnum(v)}""" }
       .mkString("{", ",", "}")
     val perfJson = perfJsonOf(perf)
     val perfLargeJson = perfJsonOf(perfLarge)
-    val roundsJson = rounds.map { case (l, h, d) =>
-      s"""{"low":${jnum(l)},"high":${jnum(h)},"docs":$d,"eff":${jnum(eff(l, h))}}"""
+    val roundsJson = rounds.map { r =>
+      s"""{"low":${jnum(r.l)},"high":${jnum(r.h)},"docs":${r.docs},""" +
+      s""""spin_ms_low":${jnum(r.spinL)},"spin_ms_high":${jnum(r.spinH)},""" +
+      s""""eff":${jnum(eff(r.l, r.h))},"eff_norm":${jnum(effNorm(r))}}"""
     }.mkString("[", ",", "]")
     val buildJson =
       s"""{"bench_docs":$benchDocs,"cores_low":$coresLow,"cores_high":$coresHigh,""" +
       s""""docs_per_sec_low":${jnum(tpLow)},"docs_per_sec_high":${jnum(tpHigh)},""" +
       s""""warmup_docs_per_sec":${jnum(warm)},"scaling_rounds":$round,""" +
-      s""""rounds":$roundsJson,"scaling_efficiency":${jnum(efficiency)}}"""
+      s""""rounds":$roundsJson,"scaling_efficiency":${jnum(efficiency)},""" +
+      s""""scaling_efficiency_normalized":${jnum(efficiencyNorm)}}"""
     val total = results.map(_._2).filter(_ > 0).sum
     val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","build":$buildJson,"query_perf_us":$perfJson,"query_perf_us_200k":$perfLargeJson,"distributed_wand_qps":${jnum(distQps)}}"""
     // full-detail copy (all stats, every scaling round) survives on disk
@@ -435,7 +578,8 @@ object Bench {
       val b = s"""{"bench_docs":$benchDocs,"cores_low":$coresLow,""" +
         s""""cores_high":$coresHigh,"docs_per_sec_low":${jnum1(tpLow)},""" +
         s""""docs_per_sec_high":${jnum1(tpHigh)},"scaling_rounds":$round,""" +
-        s""""scaling_efficiency":${jnum(efficiency)}}"""
+        s""""scaling_efficiency":${jnum(efficiency)},""" +
+        s""""scaling_efficiency_normalized":${jnum(efficiencyNorm)}}"""
       s"""{"metric":"total","value":${jnum1(total)},"unit":"sec",""" +
         s""""queries":$q,"sf":"$sfDir","build":$b,""" +
         s""""query_perf_us":${compactPerf(perf, perfKeys)},""" +

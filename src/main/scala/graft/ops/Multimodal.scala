@@ -146,8 +146,11 @@ object Multimodal {
     }
     val w = readInt(); val h = readInt(); val maxv = readInt()
     pos += 1 // single whitespace before raster
-    if (w <= 0 || h <= 0 || maxv != 255 ||
-        pos + w * h * 3 > p.length) return None
+    // raster size computed in Long: a corrupt header declaring e.g.
+    // 40000x30000 wraps w*h*3 negative in Int and the bounds check
+    // would pass straight into an out-of-bounds raster walk
+    if (w <= 0 || h <= 0 || w > 32768 || h > 32768 || maxv != 255 ||
+        pos.toLong + w.toLong * h * 3 > p.length) return None
     val hist = new Array[Float](16)
     var i = 0
     while (i < w * h) {
@@ -171,23 +174,29 @@ object Multimodal {
         ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
     def u16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
     if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
-    var pos = 12
+    // chunk walk in Long with RIFF's u32 sizes treated as UNSIGNED: a
+    // corrupt size like 0x7FFFFFF0 makes an Int `pos += 8 + size`
+    // wrap negative while `pos + 8 <= length` still passes, indexing
+    // negative offsets — the walk must saturate past the end instead
+    var pos = 12L
     var rate = 0
     var ok = false
     val hist = new Array[Float](16)
     var nSamples = 0L
     while (pos + 8 <= p.length) {
-      val size = u32(pos + 4)
-      if (size < 0) return None // corrupt chunk size: abort the walk
-      if (ascii(pos, "fmt ") && pos + 8 + 16 <= p.length) {
+      val at = pos.toInt // pos + 8 <= p.length, so Int-safe
+      val size = u32(at + 4).toLong & 0xffffffffL
+      if (ascii(at, "fmt ") && pos + 8 + 16 <= p.length) {
         // PCM (1), mono, 16-bit is what we synthesize; reject others
-        if (u16(pos + 8) == 1 && u16(pos + 10) == 1 && u16(pos + 22) == 16) {
-          rate = u32(pos + 12)
+        if (u16(at + 8) == 1 && u16(at + 10) == 1 && u16(at + 22) == 16) {
+          rate = u32(at + 12)
           ok = rate > 0
         }
-      } else if (ascii(pos, "data") && ok) {
-        val end = math.min(p.length, pos + 8 + size)
-        var o = pos + 8
+      } else if (ascii(at, "data") && ok) {
+        // a declared size past the payload end clamps: decode what is
+        // actually there rather than failing the whole payload
+        val end = math.min(p.length.toLong, pos + 8 + size).toInt
+        var o = at + 8
         while (o + 1 < end) {
           val s = ((p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)).toShort
           hist((s + 32768) >>> 12) += 1.0f
@@ -217,8 +226,10 @@ object Multimodal {
     val wOpt = tag('W'); val hOpt = tag('H')
     if (wOpt.isEmpty || hOpt.isEmpty) return None
     val w = wOpt.get; val h = hOpt.get
-    if (w <= 0 || h <= 0) return None
-    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    // frame size in Long (same Int-overflow class as the PPM raster:
+    // a corrupt W/H tag must not wrap the bounds check)
+    if (w <= 0 || h <= 0 || w > 32768 || h > 32768) return None
+    val frameBytes = w.toLong * h + 2L * (w / 2) * (h / 2)
     val frameMark = "FRAME".getBytes("US-ASCII")
     var pos = eol + 1
     var frames = 0
@@ -228,13 +239,13 @@ object Multimodal {
       var fe = pos
       while (fe < p.length && p(fe) != '\n') fe += 1 // frame param line
       val dataAt = fe + 1
-      if (dataAt + frameBytes > p.length) return None
+      if (dataAt.toLong + frameBytes > p.length) return None
       if (frames == 0) {
         var i = 0
         while (i < w * h) { hist((p(dataAt + i) & 0xff) >>> 4) += 1.0f; i += 1 }
       }
       frames += 1
-      pos = dataAt + frameBytes
+      pos = (dataAt.toLong + frameBytes).toInt // <= p.length by the check
     }
     if (frames == 0) None
     else Some((w, h, frames, normalized(hist, w.toLong * h)))
@@ -250,18 +261,27 @@ object Multimodal {
   }
 
   /** Decode one payload by magic-byte sniffing (never trusts the label
-    * column). */
+    * column). Total: a payload no parser accepts — or one that makes a
+    * parser throw despite the bounds checks — falls back to the byte
+    * histogram instead of failing the Spark task (at 100 TB some
+    * payloads WILL be corrupt, and one bad row must not kill a stage). */
   def decode(m: MediaRow): MediaFeatures = {
     val p = m.payload
-    decodePpm(p).map { case (w, h, f) =>
-      MediaFeatures(m.media_id, m.modality, p.length.toLong, w, h, 0, 1, f)
-    }.orElse(decodeWav(p).map { case (rate, f) =>
-      MediaFeatures(m.media_id, m.modality, p.length.toLong, 0, 0, rate, 0, f)
-    }).orElse(decodeY4m(p).map { case (w, h, frames, f) =>
-      MediaFeatures(m.media_id, m.modality, p.length.toLong, w, h, 0, frames, f)
-    }).getOrElse(
-      MediaFeatures(m.media_id, m.modality, p.length.toLong, 0, 0, 0, 0,
-                    byteHistogram(p)))
+    try {
+      decodePpm(p).map { case (w, h, f) =>
+        MediaFeatures(m.media_id, m.modality, p.length.toLong, w, h, 0, 1, f)
+      }.orElse(decodeWav(p).map { case (rate, f) =>
+        MediaFeatures(m.media_id, m.modality, p.length.toLong, 0, 0, rate, 0, f)
+      }).orElse(decodeY4m(p).map { case (w, h, frames, f) =>
+        MediaFeatures(m.media_id, m.modality, p.length.toLong, w, h, 0, frames, f)
+      }).getOrElse(
+        MediaFeatures(m.media_id, m.modality, p.length.toLong, 0, 0, 0, 0,
+                      byteHistogram(p)))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        MediaFeatures(m.media_id, m.modality, p.length.toLong, 0, 0, 0, 0,
+                      byteHistogram(p))
+    }
   }
 
   /** Batched feature extraction over partitions: one decoder instance

@@ -96,19 +96,38 @@ object Streaming {
 
   /** Run a streaming transform of the staged chunks to completion
     * (Trigger.AvailableNow, one file per micro-batch) and return the
-    * collected sink rows. */
+    * collected sink rows. The memory-sink temp view and the checkpoint
+    * directory are both released before returning — gates call this
+    * repeatedly, and a long-lived session must not accumulate catalog
+    * views or /tmp checkpoint trees (sink rows are gate-scale; the
+    * collect is bounded). */
   def runToCompletion(spark: SparkSession, srcDir: String,
                       transform: DataFrame => DataFrame,
                       outputMode: String): DataFrame = {
     val name = "stream_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ckptPath = java.nio.file.Files.createTempDirectory("graft_ckpt")
     val q = transform(fileStream(spark, srcDir)).writeStream
       .format("memory").queryName(name)
       .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckptPath.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(ckptPath)
+    out
+  }
+
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    try {
+      val it = Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator()
+      while (it.hasNext) Files.deleteIfExists(it.next())
+    } catch { case scala.util.control.NonFatal(_) => }
   }
 }

@@ -261,6 +261,29 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeY4m(wav).isEmpty)
     // truncated raster is rejected, falls back to byte histogram
     assert(Multimodal.decodePpm(ppm.dropRight(2)).isEmpty)
+
+    // Int-overflow corruption: declared sizes near 2^31 must neither
+    // index out of bounds nor wrap the bounds checks
+    val hugePpm = "P6\n40000 30000\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(7) // w*h*3 wraps negative in Int
+    assert(Multimodal.decodePpm(hugePpm).isEmpty)
+    val hugeWav = Multimodal.wavPayload(16000, 4, 1L)
+    // corrupt the data-chunk size to 0x7FFFFFF0 (pos += 8+size wraps)
+    val sz = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(0x7FFFFFF0).array()
+    System.arraycopy(sz, 0, hugeWav, 40, 4)
+    val dec = Multimodal.decodeWav(hugeWav) // clamps: decodes what exists
+    assert(dec.forall(_._1 == 16000))
+    val hugeY4m = "YUV4MPEG2 W40000 H40000 C420\nFRAME\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](64)(7)
+    assert(Multimodal.decodeY4m(hugeY4m).isEmpty)
+    // decode() is total: corrupt payloads fall back to the byte histogram
+    Seq(hugePpm, hugeWav, hugeY4m).zipWithIndex.foreach { case (pl, i) =>
+      val f = Multimodal.decode(
+        Multimodal.MediaRow(1000L + i, "image", pl, 0, 0, 0))
+      assert(f.features.length == 16)
+      assert(f.n_bytes == pl.length)
+    }
   }
 
   test("multimodal feature extraction: decoded metadata, shape, determinism") {
