@@ -105,6 +105,27 @@ object Bench {
     (r, spin)
   }
 
+  /** Parallel-capacity probe: `threads` concurrent fixed spins, wall ms
+    * to finish them all (median of 3 reps). A single-thread gauge is
+    * blind to PARTIAL-core contention — another tenant holding half the
+    * cores leaves one spin thread (and a 4-core build) at full speed
+    * while a 16-core build crawls; observed in-artifact as tpHigh 6x
+    * slower with flat spin times. This probe stretches proportionally
+    * to the parallelism actually available, so probing immediately
+    * before each build side records the contention the wide build is
+    * about to see. */
+  private def parCapacityWallMs(threads: Int): Double = {
+    def rep(): Double = {
+      val t0 = System.nanoTime()
+      val ts = Array.fill(threads)(new Thread(() => { Spin.once(); () }))
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    val a = Array.fill(3)(rep()).sorted
+    a(1)
+  }
+
   def buildThroughputPublic(cores: Int, nDocs: Int): Double =
     buildThroughput(cores, nDocs, prepCorpus(nDocs, 32))
 
@@ -136,10 +157,35 @@ object Bench {
     * bound selects the first nDocs rows with parquet row-group
     * pushdown — this is what lets the scaling loop size rounds to the
     * host weather without re-prepping corpora. */
+  /** `maxSec`: hard wall cap for this build. A disturbance window can
+    * slow a build 100x (observed: a round predicted at 37 s running
+    * 1,863 s, blowing the whole bench budget); past the cap a watchdog
+    * thread cancels all Spark jobs — repeatedly, since the timed block
+    * issues several actions — and the build reports 0.0 docs/s
+    * (= aborted/poisoned; such rounds are filtered, never selected). */
   private def buildThroughput(cores: Int, nDocs: Int,
                               corpusDir: String,
-                              corpusDocs: Int = -1): Double = {
+                              corpusDocs: Int = -1,
+                              maxSec: Double = Double.MaxValue): Double = {
     val spark = newSession(cores)
+    @volatile var timedOut = false
+    val watchdog =
+      if (maxSec < 1e9) {
+        val t = new Thread(() => {
+          try {
+            Thread.sleep((maxSec * 1000).toLong)
+            timedOut = true
+            while (true) {
+              try spark.sparkContext.cancelAllJobs()
+              catch { case scala.util.control.NonFatal(_) => }
+              Thread.sleep(2000)
+            }
+          } catch { case _: InterruptedException => }
+        }, "build-watchdog")
+        t.setDaemon(true)
+        t.start()
+        Some(t)
+      } else None
     try {
       import spark.implicits._
       val all = spark.read.parquet(corpusDir).as[CorpusDoc]
@@ -160,7 +206,12 @@ object Bench {
         idx.norms.count()
       }
       nDocs / sec
-    } finally spark.stop()
+    } catch {
+      case scala.util.control.NonFatal(_) if timedOut => 0.0
+    } finally {
+      watchdog.foreach(_.interrupt())
+      spark.stop()
+    }
   }
 
   /** In-memory single-node serving on a Zipf collection mirroring the
@@ -291,8 +342,16 @@ object Bench {
     // the JSON emission + stdout capture contract can be validated
     // without a 40-minute run.
     val smoke = sys.env.get("SPARK_GRAFT_BENCH_SMOKE").contains("1")
+    // 1.2M docs: the low-cores build must run ~100 s of parallel work
+    // for the ~3-5 s fixed per-build cost (job scheduling, sampling
+    // passes, offset collects) to stop dominating the high-cores wall.
+    // With eff = (W/4 + o) / (W/4 + 4o), a 10 s low build caps measured
+    // efficiency at ~0.55 and a 33 s one at ~0.78 even on a perfectly
+    // quiet host — the 400k-doc rounds of r3/r4-run1 were measuring
+    // overhead, not scaling. 100 s of low work puts the ceiling at
+    // ~0.90 (x the 0.92 multiprocess ceiling of this box).
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
-                                      if (smoke) "20000" else "400000").toInt
+                                      if (smoke) "20000" else "1200000").toInt
     // hard wall-time budget for the whole bench: the scaling section
     // yields whatever rounds fit, and the JSON line is always emitted
     // (round 1 timed out at the driver with the line never printed)
@@ -391,7 +450,8 @@ object Bench {
     // for so an artifact produced inside a disturbance window can prove
     // the round was poisoned rather than the scaling bad.
     final case class RoundSample(l: Double, h: Double, docs: Int,
-                                 spinL: Double, spinH: Double)
+                                 spinL: Double, spinH: Double,
+                                 capL: Double, capH: Double)
     // up to 12 sampling rounds: the budget check bounds wall time, and
     // disturbance windows last minutes — more samples, not longer
     // builds, is what buys a quiet adjacent pair (observed best-round
@@ -404,16 +464,24 @@ object Bench {
                                       if (smoke) "1" else "12").toInt
     def eff(l: Double, h: Double): Double =
       if (l <= 0) 0.0 else (h / l) * (coresLow.toDouble / coresHigh)
-    // weather-normalized efficiency: spin time is inversely proportional
-    // to effective per-core speed, so multiplying each side's throughput
-    // by its spin time cancels the host-weather factor —
-    // eff_norm = eff * (spinH / spinL). This corrects BOTH directions:
-    // interference during the high build (spinH inflated -> raw eff
-    // understated) and the 4-busy-core turbo boost (spinL deflated ->
-    // raw eff structurally understated on an otherwise quiet host).
-    def effNorm(r: RoundSample): Double =
-      if (r.spinL > 0 && r.spinH > 0) eff(r.l, r.h) * (r.spinH / r.spinL)
-      else eff(r.l, r.h)
+    // weather-normalized efficiency. Two gauges, two failure modes:
+    //   - spin (single thread, sampled DURING the build) is inversely
+    //     proportional to effective per-core speed — catches frequency
+    //     /steal interference and the 4-busy-core turbo boost (spinL
+    //     deflated -> raw eff structurally understated on a quiet host);
+    //   - parallel capacity (coresHigh threads, probed immediately
+    //     BEFORE each build) catches partial-core contention that
+    //     leaves single-thread speed untouched while a wide build
+    //     crawls (observed: tpHigh 6x slower, spin flat).
+    // Each ratio >1 means the high side ran in worse weather than the
+    // low side; the larger ratio is whichever gauge saw the
+    // disturbance. eff_norm = eff * max(spinH/spinL, capH/capL); the
+    // <=1.05 plausibility cap bounds how far normalization can reach.
+    def effNorm(r: RoundSample): Double = {
+      val spinRatio = if (r.spinL > 0 && r.spinH > 0) r.spinH / r.spinL else 1.0
+      val capRatio = if (r.capL > 0 && r.capH > 0) r.capH / r.capL else 1.0
+      eff(r.l, r.h) * math.max(spinRatio, capRatio)
+    }
     // parallel efficiency cannot legitimately exceed 1: a round reporting
     // eff > ~1 means the low-cores window was interference-poisoned, not
     // that scaling is superlinear — such rounds are reported but never
@@ -438,80 +506,109 @@ object Bench {
       Spin.warm()
       val corpusDir = prepCorpus(benchDocs, cpus)
       stamp(s"scaling corpus prepped at $corpusDir")
-      // warm at half the corpus: warmup only exists for JIT + the first
-      // throughput estimate, and a full-corpus build in a disturbed
-      // window costs 250+ s before any round has run
-      warm = buildThroughput(coresHigh, benchDocs / 2, corpusDir, benchDocs)
+      // per-build watchdog cap: never more than 480 s (a build that
+      // slow is poisoned regardless of budget) nor much past the
+      // remaining budget — this is what makes LARGE rounds safe to
+      // schedule (the abort bounds the damage a window can do)
+      def buildCap(): Double =
+        math.max(60.0, math.min(480.0, budgetSec - elapsedSec + 30.0))
+      // warmup is for JIT only: small and capped — r4-run1 spent 60 s
+      // building 200k docs cold; half of a large corpus would be minutes
+      warm = buildThroughput(coresHigh, math.min(benchDocs / 8, 200000),
+                             corpusDir, benchDocs, buildCap())
       stamp(f"scaling warmup: ${warm}%.0f docs/s at $coresHigh cores")
       var lastRoundSec = 0.0
       var continue = true
-      // ADAPTIVE round sizing: a poisoned 4-core full-corpus build can
-      // take 800+ s (measured) and eat the whole scaling budget as ONE
-      // implausible round. Size each round to ~90 s of low-cores work
-      // at the latest low-side throughput estimate, capped at the full
-      // corpus; quiet weather returns the estimate — and the round
-      // size — to the full corpus within one round.
-      var tpLowEst = math.max(1.0, warm * coresLow / coresHigh)
-      // worst low-side throughput ever observed this run (direct or
-      // implied from a high build): the sizing floor for the BUDGET cap.
-      // Round 4 of the r3 artifact was sized off a lucky 2,320 docs/s
-      // estimate and then hit a window running at 122 docs/s — 1,863 s
-      // for a round predicted at 37 s, 880 s past the whole budget. The
-      // budget cap sizes each round so that even at the worst observed
-      // throughput the round roughly fits the remaining budget.
-      var tpLowWorst = tpLowEst
+      // SIZING estimate — the latest MEASURED low-side throughput.
+      // Rounds target ~100 s of low-cores wall; accuracy matters here:
+      // the pessimistic estimate used through r4-run1 systematically
+      // undersized quiet rounds to the floor, where fixed overhead
+      // dominates and efficiency reads ~0.5 on an idle host.
+      var tpSizeEst = math.max(1.0, warm * coresLow / coresHigh)
+      // BUDGET estimate — pessimistic min across both halves, and the
+      // cap uses the worst of the LAST TWO rounds' estimates: one lucky
+      // sample must not inflate a round into a reopening window, while
+      // a min over all history would let one poisoned warmup cap every
+      // later round on a host that has long since quieted.
+      var tpLowEst = tpSizeEst
+      var tpLowPrev = tpSizeEst
       while (continue && round < maxRounds &&
              (round < 2 || bestEvidence < 0.82)) {
         val remaining = budgetSec - elapsedSec
         // low + high halves at worst-case low-side speed ~= 1.25x the
         // low half alone; keep a 2x cushion on top
-        val byBudget = (remaining * tpLowWorst / 2.5).toInt
+        val byBudget =
+          (remaining * math.min(tpLowEst, tpLowPrev) / 2.5).toInt
         if (round > 0 && elapsedSec + lastRoundSec * 1.15 > budgetSec) {
           stamp(f"scaling stopped by budget after $round rounds " +
                 f"(elapsed $elapsedSec%.0fs of $budgetSec%.0fs)")
           continue = false
         } else if (byBudget < 5000) {
           stamp(f"scaling stopped: remaining budget $remaining%.0fs too " +
-                f"small for a meaningful round at ${tpLowWorst}%.0f docs/s")
+                f"small for a meaningful round at " +
+                f"${math.min(tpLowEst, tpLowPrev)}%.0f docs/s")
           continue = false
         } else {
           val roundDocs = math.min(benchDocs,
             math.min(byBudget,
-                     math.max(benchDocs / 4, (tpLowEst * 90).toInt)))
+                     math.max(benchDocs / 8, (tpSizeEst * 100).toInt)))
           val r0 = System.nanoTime()
-          val (l, spinL) =
-            gauged(buildThroughput(coresLow, roundDocs, corpusDir, benchDocs))
-          // re-check the budget BETWEEN the two halves: when a window
-          // opens mid-round the low build alone can blow the budget,
-          // and the high half would only dig deeper (r3: +151 s after
-          // already 729 s over)
-          if (elapsedSec > budgetSec) {
+          val capSecL = buildCap()
+          val capL = parCapacityWallMs(coresHigh)
+          val (l, spinL) = gauged(
+            buildThroughput(coresLow, roundDocs, corpusDir, benchDocs, capSecL))
+          def pessimize(capSec: Double): Unit = {
+            tpLowPrev = tpLowEst
+            tpLowEst = math.max(1.0, roundDocs / capSec / 4)
+            tpSizeEst = tpLowEst
+          }
+          if (l <= 0) {
+            // low half aborted by its watchdog: the round is poisoned;
+            // record it (filtered), shrink the next round hard, and let
+            // the top-of-loop budget checks decide whether to go on
+            stamp(f"scaling round ${round + 1}: low half ABORTED at " +
+                  f"${capSecL}%.0fs cap (docs=$roundDocs)")
+            pessimize(capSecL)
+            rounds += RoundSample(0.0, 0.0, roundDocs, spinL, 0.0, capL, 0.0)
+            round += 1
+            lastRoundSec = (System.nanoTime() - r0) / 1e9
+          } else if (elapsedSec > budgetSec) {
+            // re-check the budget BETWEEN the two halves: when a window
+            // opens mid-round the low build alone can blow the budget,
+            // and the high half would only dig deeper
             stamp(f"scaling stopped mid-round by budget " +
                   f"(elapsed $elapsedSec%.0fs of $budgetSec%.0fs); " +
                   f"low half measured ${l}%.0f docs/s, high half skipped")
-            rounds += RoundSample(l, 0.0, roundDocs, spinL, 0.0)
+            rounds += RoundSample(l, 0.0, roundDocs, spinL, 0.0, capL, 0.0)
             round += 1
             continue = false
           } else {
-            val (h, spinH) =
-              gauged(buildThroughput(coresHigh, roundDocs, corpusDir, benchDocs))
+            val capSecH = buildCap()
+            val capH = parCapacityWallMs(coresHigh)
+            val (h, spinH) = gauged(
+              buildThroughput(coresHigh, roundDocs, corpusDir, benchDocs, capSecH))
             lastRoundSec = (System.nanoTime() - r0) / 1e9
-            // pessimistic estimate across BOTH halves: the window is
-            // intermittent, and trusting a lucky low-side sample while
-            // the high side crawled re-inflates the next round into the
-            // disturbance (observed: one such round cost 725 s)
-            val lowImplied =
-              if (h > 0) h * coresLow / coresHigh else Double.MaxValue
-            if (l > 0 || h > 0) {
-              tpLowEst = math.min(if (l > 0) l else Double.MaxValue, lowImplied)
-              tpLowWorst = math.min(tpLowWorst, tpLowEst)
+            if (h <= 0) {
+              stamp(f"scaling round ${round + 1}: high half ABORTED at " +
+                    f"${capSecH}%.0fs cap (docs=$roundDocs, tpLow=$l%.0f)")
+              pessimize(capSecH)
+            } else {
+              // budget estimate stays pessimistic across BOTH halves:
+              // the window is intermittent, and trusting a lucky
+              // low-side sample while the high side crawled re-inflates
+              // the next round into the disturbance
+              tpLowPrev = tpLowEst
+              tpLowEst = math.min(l, h * coresLow / coresHigh)
+              tpSizeEst = l
             }
-            val r = RoundSample(l, h, roundDocs, spinL, spinH)
+            val r = RoundSample(l, h, roundDocs, spinL, spinH, capL, capH)
             rounds += r
             round += 1
             stamp(f"scaling round $round: docs=$roundDocs tpLow=$l%.0f " +
-                  f"tpHigh=$h%.0f spinLow=${spinL}%.1fms spinHigh=${spinH}%.1fms " +
-                  f"eff=${eff(l, h)}%.3f effNorm=${effNorm(r)}%.3f best=${bestRoundEff}%.3f")
+                  f"tpHigh=$h%.0f spin=${spinL}%.1f/${spinH}%.1fms " +
+                  f"cap=${capL}%.0f/${capH}%.0fms " +
+                  f"eff=${eff(l, h)}%.3f effNorm=${effNorm(r)}%.3f " +
+                  f"best=${bestRoundEff}%.3f bestNorm=${bestBy(effNorm)}%.3f")
           }
         }
       }
@@ -527,7 +624,7 @@ object Bench {
       val ok = rounds.filter(plausibleBy(p => eff(p.l, p.h)))
       if (ok.nonEmpty) ok.maxBy(p => eff(p.l, p.h))
       else if (rounds.nonEmpty) rounds.last
-      else RoundSample(0.0, 0.0, 0, 0.0, 0.0)
+      else RoundSample(0.0, 0.0, 0, 0.0, 0.0, 0.0, 0.0)
     }
     val tpLow = bestRound.l
     val tpHigh = bestRound.h
@@ -539,6 +636,7 @@ object Bench {
     val roundsJson = rounds.map { r =>
       s"""{"low":${jnum(r.l)},"high":${jnum(r.h)},"docs":${r.docs},""" +
       s""""spin_ms_low":${jnum(r.spinL)},"spin_ms_high":${jnum(r.spinH)},""" +
+      s""""par_cap_ms_low":${jnum(r.capL)},"par_cap_ms_high":${jnum(r.capH)},""" +
       s""""eff":${jnum(eff(r.l, r.h))},"eff_norm":${jnum(effNorm(r))}}"""
     }.mkString("[", ",", "]")
     val buildJson =
@@ -592,6 +690,11 @@ object Bench {
       .find(_.length <= 1850)
       .getOrElse(compactLine(Seq("mean"), withQueries = false))
     stamp(s"stdout JSON line: ${line.length} bytes (cap 1850)")
+    // flush stderr before and stdout after: the JSON line should be the
+    // last thing in the combined capture (stream interleaving through
+    // the inherited pipes is otherwise nondeterministic)
+    System.err.flush()
     println(line)
+    System.out.flush()
   }
 }
