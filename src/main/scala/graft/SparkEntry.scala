@@ -322,6 +322,10 @@ object SparkEntry {
       val direct = IndexBuilder.build(s, d, "block_optpfor", shardSize * 4, 8)
       val mergeBad = mismatches(segMap(merged), segMap(direct))
 
+      graft.streaming.Streaming.deleteRecursively(
+        java.nio.file.Paths.get(dirFull))
+      graft.streaming.Streaming.deleteRecursively(
+        java.nio.file.Paths.get(dirPart))
       Seq(("merge_byte_identical", mergeBad),
           ("resume_byte_identical", resumeBad))
         .toDF("probe", "mismatches").orderBy("probe")
