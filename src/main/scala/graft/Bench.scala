@@ -325,8 +325,12 @@ object Bench {
   final val PruningOps = Seq("ranked_or", "wand", "maxscore",
                              "block_max_wand")
 
+  // Locale.ROOT: the JSON contract needs '.' decimals regardless of the
+  // JVM's default locale (the f-interpolator would emit "1234,5" under
+  // e.g. a German locale — unparseable downstream)
   private def jnum(d: Double): String =
-    if (d.isNaN || d.isInfinite) "0" else f"$d%.3f"
+    if (d.isNaN || d.isInfinite) "0"
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
   private def perfJsonOf(perf: Map[String, Map[String, Double]]): String =
     perf.toSeq.sortBy(_._1).map { case (op, st) =>
@@ -514,9 +518,20 @@ object Bench {
         math.max(60.0, math.min(480.0, budgetSec - elapsedSec + 30.0))
       // warmup is for JIT only: small and capped — r4-run1 spent 60 s
       // building 200k docs cold; half of a large corpus would be minutes
-      warm = buildThroughput(coresHigh, math.min(benchDocs / 8, 200000),
-                             corpusDir, benchDocs, buildCap())
-      stamp(f"scaling warmup: ${warm}%.0f docs/s at $coresHigh cores")
+      val warmDocs = math.min(benchDocs / 8, 200000)
+      val warmCap = buildCap()
+      warm = buildThroughput(coresHigh, warmDocs, corpusDir, benchDocs, warmCap)
+      if (warm <= 0) {
+        // warmup aborted by its watchdog: seed the estimates from the
+        // abort itself (the true rate is below warmDocs/warmCap)
+        // instead of the 1 docs/s floor, which would shrink byBudget
+        // under the 5,000-doc stop and end scaling with ZERO rounds
+        // while budget remains and the window may be about to close
+        warm = math.max(1.0, warmDocs / warmCap / 4)
+        stamp(f"scaling warmup ABORTED at ${warmCap}%.0fs; assuming " +
+              f"${warm}%.0f docs/s at $coresHigh cores")
+      } else
+        stamp(f"scaling warmup: ${warm}%.0f docs/s at $coresHigh cores")
       var lastRoundSec = 0.0
       var continue = true
       // SIZING estimate — the latest MEASURED low-side throughput.
@@ -661,7 +676,8 @@ object Bench {
     // hard-capped: if it still exceeds the window, detail sections drop
     // until it fits. Everything omitted is in bench_last.json.
     def jnum1(d: Double): String =
-      if (d.isNaN || d.isInfinite) "0" else f"$d%.1f"
+      if (d.isNaN || d.isInfinite) "0"
+      else String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     def compactPerf(perf: Map[String, Map[String, Double]],
                     keys: Seq[String]): String =
       perf.toSeq.sortBy(_._1).map { case (op, st) =>

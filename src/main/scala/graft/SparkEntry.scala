@@ -299,6 +299,7 @@ object SparkEntry {
 
       val dirFull = java.nio.file.Files.createTempDirectory("graft_gate_full").toString
       val dirPart = java.nio.file.Files.createTempDirectory("graft_gate_part").toString
+      try {
       val full = IndexStore.buildResumable(s, d, "block_optpfor", shardSize,
                                            dirFull, 8)
       val fullSegs = segMap(full)
@@ -322,13 +323,17 @@ object SparkEntry {
       val direct = IndexBuilder.build(s, d, "block_optpfor", shardSize * 4, 8)
       val mergeBad = mismatches(segMap(merged), segMap(direct))
 
-      graft.streaming.Streaming.deleteRecursively(
-        java.nio.file.Paths.get(dirFull))
-      graft.streaming.Streaming.deleteRecursively(
-        java.nio.file.Paths.get(dirPart))
       Seq(("merge_byte_identical", mergeBad),
           ("resume_byte_identical", resumeBad))
         .toDF("probe", "mismatches").orderBy("probe")
+      } finally {
+        // multi-shard parquet trees in /tmp must not survive a failed
+        // probe either — long-lived sessions re-run this gate
+        graft.streaming.Streaming.deleteRecursively(
+          java.nio.file.Paths.get(dirFull))
+        graft.streaming.Streaming.deleteRecursively(
+          java.nio.file.Paths.get(dirPart))
+      }
     }
 
     // --- O1-O4: space-time hybrid optimization round-trip (budget sweep)
@@ -546,6 +551,7 @@ object SparkEntry {
       import s.implicits._
       import graft.streaming.Streaming
       val src = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      try {
       Streaming.stageChunks(s, dir, src, chunks = 5)
       val docs = documents(s, dir)
 
@@ -581,10 +587,10 @@ object SparkEntry {
       val batchCounts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       val runBad = symDiff(runFinal, batchCounts)
 
-      Streaming.deleteRecursively(java.nio.file.Paths.get(src))
       Seq(("dedup_first_seen", dedupBad), ("running_state", runBad),
           ("windowed_counts", winBad))
         .toDF("probe", "mismatches").orderBy("probe")
+      } finally Streaming.deleteRecursively(java.nio.file.Paths.get(src))
     }
 
     m += "text_quality" -> ((s, dir) => graft.ops.TextOps.quality(documents(s, dir)))

@@ -106,20 +106,24 @@ object Streaming {
                       outputMode: String): DataFrame = {
     val name = "stream_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckptPath = java.nio.file.Files.createTempDirectory("graft_ckpt")
-    val q = transform(fileStream(spark, srcDir)).writeStream
-      .format("memory").queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckptPath.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val sink = spark.table(name)
-    val rows = sink.collect()
-    val out = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), sink.schema)
-    spark.catalog.dropTempView(name)
-    deleteRecursively(ckptPath)
-    out
+    try {
+      val q = transform(fileStream(spark, srcDir)).writeStream
+        .format("memory").queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckptPath.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table(name)
+      val rows = sink.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sink.schema)
+    } finally {
+      // release on BOTH paths: a failed stream (corrupt chunk, state
+      // error) must not leak the sink view or the checkpoint tree
+      try spark.catalog.dropTempView(name)
+      catch { case scala.util.control.NonFatal(_) => }
+      deleteRecursively(ckptPath)
+    }
   }
 
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
