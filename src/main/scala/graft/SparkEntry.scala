@@ -481,6 +481,41 @@ object SparkEntry {
     m += "ann_lsh_top5" -> ((s, dir) =>
       graft.ops.Ann.lshTopK(s, embeddings(s, dir), (0L until 10L), k = 5))
 
+    m += "ann_ivf_top5" -> ((s, dir) =>
+      graft.ops.Ann.ivfTopK(s, embeddings(s, dir), (0L until 10L), k = 5))
+
+    // IVF invariants as zero-mismatch probes, mirroring ann_lsh_selfcheck:
+    // reported scores must equal the exact cosine of the same pair, and
+    // recall@5 vs the exact baseline must clear the floor (construction
+    // is deterministic: hash-ordered seed sample + Lloyd over fixed data)
+    m += "ann_ivf_selfcheck" -> { (s, dir) =>
+      import s.implicits._
+      val emb = embeddings(s, dir)
+      val ivf = graft.ops.Ann.ivfTopK(s, emb, (0L until 10L), k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = graft.ops.Ann.cosineTopK(s, emb, (0L until 10L), k = 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = emb.select($"vec_id".as("query_id"), $"embedding".as("qv"),
+                         graft.ops.Ann.norm($"embedding").as("qn"))
+      val n = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("nv"),
+                         graft.ops.Ann.norm($"embedding").as("nn"))
+      val recomputed = ivf.select($"query_id", $"neighbor_id", $"cos_q")
+        .join(q, "query_id").join(n, "neighbor_id")
+        .withColumn("cos_q2",
+          floor(graft.ops.Ann.dot($"qv", $"nv") / ($"qn" * $"nn") * 1000)
+            .cast("long"))
+      val badCos = recomputed.filter($"cos_q" =!= $"cos_q2").count()
+      val hits = ivf.select($"query_id", $"neighbor_id")
+        .join(exact.select($"query_id", $"neighbor_id"),
+              Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = exact.count()
+      val recall1000 = if (total == 0) 1000L else hits * 1000L / total
+      ivf.unpersist(); exact.unpersist()
+      Seq(("cos_q_consistent", badCos),
+          ("recall_at5_ge_600", if (recall1000 >= 600L) 0L else 1L))
+        .toDF("probe", "mismatches").orderBy("probe")
+    }
+
     // LSH invariants as zero-mismatch probes (everything is seeded, so
     // the recall at a gate SF is a fixed deterministic number):
     // reported scores must equal the exact cosine of the same pair, and
@@ -787,6 +822,10 @@ object SparkEntry {
        "('resume_byte_identical', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
 
     "ann_lsh_selfcheck" ->
+      ("SELECT * FROM (VALUES ('cos_q_consistent', 0::BIGINT), " +
+       "('recall_at5_ge_600', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
+
+    "ann_ivf_selfcheck" ->
       ("SELECT * FROM (VALUES ('cos_q_consistent', 0::BIGINT), " +
        "('recall_at5_ge_600', 0::BIGINT)) AS t(probe, mismatches) ORDER BY probe"),
 

@@ -160,6 +160,125 @@ object Ann {
       math.max(5, math.ceil(math.log(math.max(1L, n).toDouble /
                                        bucketTarget) / math.log(2.0)).toInt))
 
+  // ------------------------------------------------------------ IVF-Flat
+
+  /** Nearest-centroid index (argmin of cosine distance over the
+    * broadcast centroid array; ties break to the lower index). */
+  def nearestCentroids(v: Array[Float], cents: Array[Array[Double]],
+                       n: Int): Array[Int] = {
+    var vn = 0.0
+    var vi = 0
+    while (vi < v.length) { vn += v(vi).toDouble * v(vi); vi += 1 }
+    vn = math.sqrt(vn)
+    val scored = cents.indices.map { c =>
+      val cent = cents(c)
+      var d = 0.0; var cn = 0.0
+      var i = 0
+      while (i < cent.length) {
+        d += v(i) * cent(i); cn += cent(i) * cent(i); i += 1
+      }
+      val cos = if (vn == 0 || cn == 0) -1.0 else d / (vn * math.sqrt(cn))
+      (-cos, c)
+    }.sorted
+    scored.take(n).map(_._2).toArray
+  }
+
+  /** Train the IVF coarse quantizer: deterministic seed centroids (the
+    * `nlist` vectors with the smallest column-hash of vec_id — a fixed
+    * pseudo-random sample), then `iters` Lloyd rounds where the
+    * assignment runs as a typed map over broadcast centroids and the
+    * update is a (cluster, dimension) average. Training reads at most
+    * `sampleCap` vectors: at web scale the quantizer is always fit on a
+    * bounded sample (FAISS trains IVF on ~30-256 points per centroid),
+    * so the driver-side centroid matrix stays nlist x dim no matter how
+    * large the corpus is. */
+  def trainIvfCentroids(spark: SparkSession, embeddings: DataFrame,
+                        nlist: Int, iters: Int = 2,
+                        sampleCap: Int = 50000): Array[Array[Double]] = {
+    import spark.implicits._
+    val sample = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(sampleCap)
+      .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = sample.take(nlist).map(_._2.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val means = sample
+        .map { case (_, v) => (nearestCentroids(v, bc.value, 1)(0), v) }
+        .toDF("cluster", "v")
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      // empty clusters keep their previous centroid (standard Lloyd)
+      cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
+      bc.destroy()
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** nlist ~ sqrt(N), the classic IVF sizing: bucket size and probe
+    * count both grow as sqrt(N), keeping query cost O(sqrt(N) * d *
+    * nProbe) instead of O(N * d). Cap 4096 keeps the broadcast centroid
+    * matrix driver-friendly (the cap is a sample-training artifact, not
+    * a semantic limit). */
+  def defaultNlist(n: Long): Int =
+    math.min(4096, math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** IVF-Flat approximate top-k: assign every vector to its nearest
+    * trained centroid (inverted lists), probe the `nProbe` centroids
+    * nearest to each query, rank the probed lists' members by EXACT
+    * cosine (so reported scores are exact; only recall is approximate —
+    * same contract as lshTopK). Candidate generation is a join keyed by
+    * cluster id: at 10^12 vectors the crossJoin's N*Q pairs become
+    * Q * nProbe * (N / nlist) — with nlist ~ sqrt(N), ~Q * sqrt(N) *
+    * nProbe pairs. */
+  def ivfTopK(spark: SparkSession, embeddings: DataFrame,
+              queryIds: Seq[Long], k: Int = 10, nlist: Int = 0,
+              nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val lists = if (nlist > 0) nlist else defaultNlist(embeddings.count())
+    val cents = spark.sparkContext.broadcast(
+      trainIvfCentroids(spark, embeddings, lists))
+    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (nearestCentroids(v, cents.value, 1)(0), id) }
+      .toDF("cluster", "neighbor_id")
+    val probes = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCentroids(v, cents.value, nProbe).map(c => (c, id))
+      }.toDF("cluster", "query_id")
+    val cand = broadcast(probes).join(assigned, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val q = embeddings.select(col("vec_id").as("query_id"),
+                              col("embedding").as("qv"),
+                              norm(col("embedding")).as("qn"))
+    val n = embeddings.select(col("vec_id").as("neighbor_id"),
+                              col("embedding").as("nv"),
+                              norm(col("embedding")).as("nn"))
+    val scored = cand.join(q, "query_id").join(n, "neighbor_id")
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("cos_q", floor(col("cos") * 1000).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long"), col("rank").cast("long"),
+              col("neighbor_id").cast("long"), col("cos_q"))
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: multi-table (numTables) signatures;
     * candidates = same bucket in any table; ranked by exact cosine.
     * numPlanes <= 0 derives the plane count from the corpus size

@@ -186,6 +186,33 @@ class OpsSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@5 $mean too low: $recalls")
   }
 
+  test("IVF ANN achieves reasonable recall@5 vs exact; scores are exact") {
+    val qids = (0L until 10L)
+    val exact = Ann.cosineTopK(spark, embeddings, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val exactByQ = exact.map(r => (r._1, r._2)).groupBy(_._1)
+    val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
+    // full exact surface for score-consistency of pairs outside top-5
+    val allCos = Ann.cosineTopK(spark, embeddings, qids, 499).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val approx = Ann.ivfTopK(spark, embeddings, qids, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // every reported cosine must equal the exact cosine of that pair
+    approx.foreach { case (q, nb, cq) =>
+      assert(allCos((q, nb)) == cq, s"IVF cos mismatch for ($q,$nb)")
+    }
+    val approxByQ = approx.map(r => (r._1, r._2)).groupBy(_._1)
+    val recalls = qids.map { q =>
+      val e = exactByQ.getOrElse(q, Array.empty).map(_._2).toSet
+      val a = approxByQ.getOrElse(q, Array.empty).map(_._2).toSet
+      if (e.isEmpty) 1.0 else (e intersect a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF mean recall@5 = $mean")
+    assert(mean >= 0.5, s"mean recall@5 $mean too low: $recalls")
+    assert(exactCos.nonEmpty)
+  }
+
   test("embedding cosine near-dup pairs match brute force") {
     val got = Ann.cosinePairs(spark, embeddings, 300L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
