@@ -380,6 +380,7 @@ object Bench {
       "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
       "dedup_simhash", "dedup_embedding_cosine",
       "dedup_embedding_cosine_lsh", "ann_cosine_top5", "ann_lsh_top5",
+      "ann_ivf_top5",
       "text_quality", "text_lang_id", "text_token_counts",
       "text_fingerprint", "mm_features")
     val results =
