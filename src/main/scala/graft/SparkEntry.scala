@@ -487,7 +487,9 @@ object SparkEntry {
     // IVF invariants as zero-mismatch probes, mirroring ann_lsh_selfcheck:
     // reported scores must equal the exact cosine of the same pair, and
     // recall@5 vs the exact baseline must clear the floor (construction
-    // is deterministic: hash-ordered seed sample + Lloyd over fixed data)
+    // is bit-deterministic: hash-ordered seed sample + driver-local
+    // Lloyd with a fixed accumulation-chunk grid — no shuffle-order
+    // float nondeterminism in the trained centroids)
     m += "ann_ivf_selfcheck" -> { (s, dir) =>
       import s.implicits._
       val emb = embeddings(s, dir)

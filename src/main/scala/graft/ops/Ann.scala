@@ -124,6 +124,7 @@ object Ann {
     val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     sigs.unpersist()
+    tables.unpersist(false) // frees executor copies; stays re-shippable
     result
   }
 
@@ -162,22 +163,62 @@ object Ann {
 
   // ------------------------------------------------------------ IVF-Flat
 
-  /** Nearest-centroid index (argmin of cosine distance over the
-    * broadcast centroid array; ties break to the lower index). */
+  /** L2 norms of the centroid rows, computed once per trained matrix:
+    * the per-vector assignment must not recompute nlist norms (it was
+    * the hottest constant factor in the r4 implementation). */
+  def centroidNorms(cents: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var s = 0.0; var i = 0
+      while (i < cent.length) { s += cent(i) * cent(i); i += 1 }
+      out(c) = math.sqrt(s)
+      c += 1
+    }
+    out
+  }
+
+  /** Single nearest centroid by cosine — allocation-free while-loop
+    * argmin over the broadcast matrix with precomputed norms. This is
+    * the dominant per-row map at corpus scale (every vector is assigned
+    * exactly once); ties break to the lower index. */
+  def nearestCentroid(v: Array[Float], cents: Array[Array[Double]],
+                      norms: Array[Double]): Int = {
+    var vn = 0.0
+    var vi = 0
+    while (vi < v.length) { vn += v(vi).toDouble * v(vi); vi += 1 }
+    vn = math.sqrt(vn)
+    var best = 0
+    var bestCos = -2.0
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d = 0.0; var i = 0
+      while (i < cent.length) { d += v(i) * cent(i); i += 1 }
+      val cos = if (vn == 0 || norms(c) == 0) -1.0 else d / (vn * norms(c))
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `n` nearest centroids by cosine (ties to the lower index).
+    * Only the query-side probe list uses n > 1 — Q·nProbe work total —
+    * so the sort here is off the hot path by construction. */
   def nearestCentroids(v: Array[Float], cents: Array[Array[Double]],
-                       n: Int): Array[Int] = {
+                       norms: Array[Double], n: Int): Array[Int] = {
+    if (n == 1) return Array(nearestCentroid(v, cents, norms))
     var vn = 0.0
     var vi = 0
     while (vi < v.length) { vn += v(vi).toDouble * v(vi); vi += 1 }
     vn = math.sqrt(vn)
     val scored = cents.indices.map { c =>
       val cent = cents(c)
-      var d = 0.0; var cn = 0.0
+      var d = 0.0
       var i = 0
-      while (i < cent.length) {
-        d += v(i) * cent(i); cn += cent(i) * cent(i); i += 1
-      }
-      val cos = if (vn == 0 || cn == 0) -1.0 else d / (vn * math.sqrt(cn))
+      while (i < cent.length) { d += v(i) * cent(i); i += 1 }
+      val cos = if (vn == 0 || norms(c) == 0) -1.0 else d / (vn * norms(c))
       (-cos, c)
     }.sorted
     scored.take(n).map(_._2).toArray
@@ -185,41 +226,82 @@ object Ann {
 
   /** Train the IVF coarse quantizer: deterministic seed centroids (the
     * `nlist` vectors with the smallest column-hash of vec_id — a fixed
-    * pseudo-random sample), then `iters` Lloyd rounds where the
-    * assignment runs as a typed map over broadcast centroids and the
-    * update is a (cluster, dimension) average. Training reads at most
-    * `sampleCap` vectors: at web scale the quantizer is always fit on a
-    * bounded sample (FAISS trains IVF on ~30-256 points per centroid),
-    * so the driver-side centroid matrix stays nlist x dim no matter how
-    * large the corpus is. */
+    * pseudo-random sample), then `iters` Lloyd rounds run ON THE DRIVER
+    * over the collected sample. Training reads at most `sampleCap`
+    * vectors: at web scale the quantizer is always fit on a bounded
+    * sample (FAISS trains IVF on ~30-256 points per centroid), so both
+    * the collect (sampleCap × dim floats) and the centroid matrix
+    * (nlist × dim) stay driver-friendly no matter how large the corpus
+    * is. Driver-local Lloyd is what makes the trained centroids
+    * bit-deterministic: a Spark avg() update merges shuffle partials in
+    * nondeterministic order, which perturbs double sums at ULP scale
+    * across runs. Here every accumulation runs on a FIXED chunk grid
+    * (64 index-range chunks regardless of thread count) and chunk
+    * partials merge in chunk order — parallel AND order-independent of
+    * the scheduler. */
   def trainIvfCentroids(spark: SparkSession, embeddings: DataFrame,
                         nlist: Int, iters: Int = 2,
                         sampleCap: Int = 50000): Array[Array[Double]] = {
     import spark.implicits._
-    val sample = embeddings
+    val sample: Array[Array[Float]] = embeddings
       .select(col("vec_id"), col("embedding"))
       .orderBy(hash(col("vec_id")), col("vec_id"))
       .limit(sampleCap)
       .as[(Long, Array[Float])]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = sample.take(nlist).map(_._2.map(_.toDouble))
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val means = sample
-        .map { case (_, v) => (nearestCentroids(v, bc.value, 1)(0), v) }
-        .toDF("cluster", "v")
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      .collect()
+      .map(_._2)
+    var cents = sample.take(nlist).map(_.map(_.toDouble))
+    val dim = if (cents.isEmpty) 0 else cents(0).length
+    val nChunks = 64 // fixed grid: results do not depend on pool size
+    val chunk = math.max(1, (sample.length + nChunks - 1) / nChunks)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(nChunks,
+        Runtime.getRuntime.availableProcessors())))
+    try {
+      for (_ <- 0 until iters) {
+        val frozen = cents
+        val norms = centroidNorms(frozen)
+        val tasks = (0 until sample.length by chunk).map { lo =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Array[Array[Double]], Array[Long])] {
+            def call(): (Array[Array[Double]], Array[Long]) = {
+              val sums = Array.fill(frozen.length)(new Array[Double](dim))
+              val counts = new Array[Long](frozen.length)
+              val hi = math.min(sample.length, lo + chunk)
+              var j = lo
+              while (j < hi) {
+                val v = sample(j)
+                val c = nearestCentroid(v, frozen, norms)
+                val s = sums(c)
+                var i = 0
+                while (i < dim) { s(i) += v(i); i += 1 }
+                counts(c) += 1
+                j += 1
+              }
+              (sums, counts)
+            }
+          })
         }
-      // empty clusters keep their previous centroid (standard Lloyd)
-      cents = cents.indices.map(c => means.getOrElse(c, cents(c))).toArray
-      bc.destroy()
-    }
-    sample.unpersist()
+        val sums = Array.fill(frozen.length)(new Array[Double](dim))
+        val counts = new Array[Long](frozen.length)
+        tasks.foreach { f => // merged in chunk-index order: deterministic
+          val (ps, pc) = f.get()
+          var c = 0
+          while (c < frozen.length) {
+            val s = sums(c); val p = ps(c)
+            var i = 0
+            while (i < dim) { s(i) += p(i); i += 1 }
+            counts(c) += pc(c)
+            c += 1
+          }
+        }
+        // empty clusters keep their previous centroid (standard Lloyd)
+        cents = frozen.indices.map { c =>
+          if (counts(c) == 0L) frozen(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+    } finally pool.shutdown()
     cents
   }
 
@@ -244,17 +326,20 @@ object Ann {
               nProbe: Int = 8): DataFrame = {
     import spark.implicits._
     val lists = if (nlist > 0) nlist else defaultNlist(embeddings.count())
-    val cents = spark.sparkContext.broadcast(
-      trainIvfCentroids(spark, embeddings, lists))
+    val trained = trainIvfCentroids(spark, embeddings, lists)
+    val cents = spark.sparkContext.broadcast((trained, centroidNorms(trained)))
     val assigned = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (nearestCentroids(v, cents.value, 1)(0), id) }
+      .map { case (id, v) =>
+        (nearestCentroid(v, cents.value._1, cents.value._2), id)
+      }
       .toDF("cluster", "neighbor_id")
     val probes = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        nearestCentroids(v, cents.value, nProbe).map(c => (c, id))
+        nearestCentroids(v, cents.value._1, cents.value._2, nProbe)
+          .map(c => (c, id))
       }.toDF("cluster", "query_id")
     val cand = broadcast(probes).join(assigned, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -272,11 +357,22 @@ object Ann {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_q").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id").cast("long"), col("rank").cast("long"),
               col("neighbor_id").cast("long"), col("cos_q"))
       .orderBy("query_id", "rank")
+    // Materialize the (Q·k)-row result, then unpersist the centroid
+    // broadcast: executor copies are freed immediately instead of one
+    // nlist×dim matrix leaking per call in long-lived sessions, while
+    // the broadcast stays re-shippable (destroy() would poison the
+    // cached frame's lineage — task serialization ships the full plan
+    // even for cached partitions). Callers may unpersist the returned
+    // frame when done (the gates do).
+    val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    cents.unpersist(false)
+    res
   }
 
   /** LSH-bucketed approximate top-k: multi-table (numTables) signatures;

@@ -192,14 +192,18 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     val exactByQ = exact.map(r => (r._1, r._2)).groupBy(_._1)
     val exactCos = exact.map(r => (r._1, r._2) -> r._3).toMap
-    // full exact surface for score-consistency of pairs outside top-5
-    val allCos = Ann.cosineTopK(spark, embeddings, qids, 499).collect()
+    // full exact surface for score-consistency of pairs outside top-5;
+    // k derived from the fixture so a grown fixture stays complete
+    val kAll = (embeddings.count() - 1).toInt
+    val allCos = Ann.cosineTopK(spark, embeddings, qids, kAll).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
     val approx = Ann.ivfTopK(spark, embeddings, qids, 5).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     // every reported cosine must equal the exact cosine of that pair
     approx.foreach { case (q, nb, cq) =>
-      assert(allCos((q, nb)) == cq, s"IVF cos mismatch for ($q,$nb)")
+      val exact = allCos.get((q, nb))
+      assert(exact.contains(cq),
+             s"IVF cos mismatch for ($q,$nb): got $cq, exact=$exact")
     }
     val approxByQ = approx.map(r => (r._1, r._2)).groupBy(_._1)
     val recalls = qids.map { q =>
