@@ -496,14 +496,23 @@ object Bench {
       val ratio = gaugeRatio(r)
       eff(r.l, r.h) * (if (ratio >= 1.1) ratio else 1.0)
     }
-    // A provably-quiet pair: both halves measured and both gauges flat
-    // across the pair (within ±20%). A quiet round's raw efficiency
+    // A provably-quiet pair: both halves measured, both gauges flat
+    // across the pair (within ±20%), AND both capacity probes near the
+    // fastest probe this run has seen. Flat ratios alone are not quiet:
+    // a co-tenant holding the same cores through both halves reads
+    // ratio 1.0 while depressing the wide build more than the narrow
+    // one (observed: cap 55/54 ms vs a 41 ms same-run best — equal
+    // mild contention, eff garbage). A quiet round's raw efficiency
     // needs no normalization story at all — it is the evidence the
     // judge can take at face value, so the loop keeps sampling while
     // budget remains until it has one.
     def quietRound(r: RoundSample): Boolean = {
       def flat(x: Double) = x >= 1.0 / 1.2 && x <= 1.2
-      r.l > 0 && r.h > 0 && flat(spinRatio(r)) && flat(capRatio(r))
+      val caps = rounds.toSeq.flatMap(x => Seq(x.capL, x.capH)).filter(_ > 0)
+      val ref = if (caps.isEmpty) 0.0 else caps.min
+      r.l > 0 && r.h > 0 && flat(spinRatio(r)) && flat(capRatio(r)) &&
+        r.capL > 0 && r.capH > 0 && ref > 0 &&
+        r.capL <= ref * 1.25 && r.capH <= ref * 1.25
     }
     // parallel efficiency cannot legitimately exceed 1: a round reporting
     // eff > ~1 means the low-cores window was interference-poisoned, not
