@@ -81,18 +81,24 @@ object IndexBuilder {
     *  - per-doc tokenize carries (term, tf, len): no token-level shuffle,
     *    no postings-x-norms join (normLen = len/avgLen is computed from
     *    the carried len and the broadcast scalar avgLen);
-    *  - one shuffle to group postings by (termId, shard) via
-    *    repartition + sortWithinPartitions; encode is a streaming
-    *    mapPartitions over consecutive runs (the deterministic
-    *    parallel-prepare/ordered-commit of semiasync_queue.hpp:12-96 is
-    *    exactly Spark's sorted-shuffle contract);
+    *  - ONE range shuffle by term replaces the dictionary groupBy plus
+    *    the postings-x-dict join of the naive plan: with postings laid
+    *    out term-contiguous, dense termIds (rank by term), the
+    *    dictionary (df/cf per run), and termId-tagged postings are all
+    *    streaming passes over the same cached layout — the posting rows
+    *    (the |tokens|-sized relation) cross the network twice total
+    *    (here + the (termId, shard) encode shuffle), never three times;
+    *  - encode groups by (termId, shard) via repartition +
+    *    sortWithinPartitions; encode is a streaming mapPartitions over
+    *    consecutive runs (the deterministic parallel-prepare/
+    *    ordered-commit of semiasync_queue.hpp:12-96 is exactly Spark's
+    *    sorted-shuffle contract);
     *  - head-term skew is bounded by shardSize (docID-range salting).
     */
   def build(spark: SparkSession, docs: Dataset[DocRow], indexType: String,
             shardSize: Long = 1L << 22,
             buildPartitions: Int = 32,
-            onlyShards: Option[Set[Int]] = None,
-            dictBroadcast: Option[Boolean] = None): BuiltIndex = {
+            onlyShards: Option[Set[Int]] = None): BuiltIndex = {
     import spark.implicits._
 
     val docsP = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -101,27 +107,61 @@ object IndexBuilder {
     require(numDocs > 0, "empty corpus")
     val avgLen = (sumLen.toDouble / numDocs.toDouble).toFloat
 
-    // (term, docId, tf, len)
-    val termFreqs = docsP.flatMap { d =>
+    // one tokenize pass feeds dictionary AND postings via the shared
+    // term-ranged layout below
+    val byTerm = docsP.flatMap { d =>
       Tokenize.termFreqs(d.text).map { case (t, tf) => (t, d.docId, tf, d.len) }
     }.toDF("term", "docId", "tf", "len")
-
-    val dict = Dictionary.build(spark, termFreqs.select($"term", $"tf"),
-                                buildPartitions)
+      .repartitionByRange(buildPartitions, $"term")
+      .sortWithinPartitions($"term", $"docId")
+      .as[(String, Long, Int, Int)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // broadcast only a genuinely small dictionary — a large broadcast
-    // serializes on the driver and caps scaling; callers that know the
-    // vocabulary shape can skip the sizing job entirely
-    val (numTerms, useBroadcast) = dictBroadcast match {
-      case Some(b) => (-1L, b)
-      case None =>
-        val n = dict.count()
-        (n, n <= 200000)
-    }
-    val dictCols = dict.select($"term", $"termId")
-    val dictJoin = if (useBroadcast) broadcast(dictCols) else dictCols
-    val postings = termFreqs.join(dictJoin, "term")
-      .select($"termId", $"docId", $"tf", $"len")
+
+    // dense termIds by ORDER BY term without a join: per-partition
+    // distinct-run counts -> prefix offsets (O(#partitions) driver
+    // data, the same scheme as DocIds.assign). RangePartitioner maps
+    // every row of a term to one partition, so runs never split.
+    val termCounts = byTerm.mapPartitions { it =>
+      var n = 0L
+      var prev: String = null
+      it.foreach { r => if (prev == null || r._1 != prev) { n += 1; prev = r._1 } }
+      Iterator.single(n)
+    }.collect()
+    val offsets = termCounts.scanLeft(0L)(_ + _)
+    val numTerms = offsets.last
+    val bcOff = spark.sparkContext.broadcast(offsets)
+
+    val dict = byTerm.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var nextId = bcOff.value(pid)
+      val buf = it.buffered
+      new Iterator[DictEntry] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): DictEntry = {
+          val term = buf.head._1
+          var df = 0L
+          var cf = 0L
+          while (buf.hasNext && buf.head._1 == term) {
+            cf += buf.next()._3
+            df += 1
+          }
+          val e = DictEntry(term, nextId.toInt, df, cf)
+          nextId += 1
+          e
+        }
+      }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dict.count() // materializes byTerm and dict together
+
+    val postings = byTerm.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var id = bcOff.value(pid) - 1
+      var prev: String = null
+      it.map { case (term, docId, tf, len) =>
+        if (prev == null || term != prev) { id += 1; prev = term }
+        (id.toInt, docId, tf, len)
+      }
+    }.toDF("termId", "docId", "tf", "len")
 
     val shardSizeL = shardSize
     val avgLenF = avgLen

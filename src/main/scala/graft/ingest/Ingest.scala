@@ -113,7 +113,15 @@ object DocIds {
         next += 1
         DocRow(id, url, text, Tokenize.tokens(text).length)
       }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the assignment now so the sorted intermediate can be
+    // freed: holding both (~2x the corpus text) through the downstream
+    // build steals execution memory from its sorts/aggs — observed as a
+    // 16-core build spilling where a 4-core one did not. The range
+    // shuffle is deterministic (seeded sampler), so eviction-driven
+    // recompute of `out` is safe as well as unlikely.
+    out.count()
+    sorted.unpersist(blocking = false)
     out
   }
 }
@@ -137,7 +145,7 @@ object Dictionary {
     val counts = agg.mapPartitions(it => Iterator.single(it.size)).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    agg.mapPartitions { it =>
+    val out = agg.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var next = bc.value(pid)
       it.map { case (term, df, cf) =>
@@ -145,6 +153,10 @@ object Dictionary {
         next += 1
         DictEntry(term, id.toInt, df, cf)
       }
-    }
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same lifecycle as DocIds.assign: materialize, free the aggregate
+    out.count()
+    agg.unpersist(blocking = false)
+    out
   }
 }
