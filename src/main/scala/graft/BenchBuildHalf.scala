@@ -89,10 +89,36 @@ object BenchBuildHalf {
       // pure oversubscription asymmetry that would poison the ratio).
       // The parent's unconfined gauge, which lands on idle CPUs, keeps
       // the symmetric baseline the weather normalization relies on.
+      //
+      // The build's own aggregate TaskMetrics are the one gauge the
+      // host cannot hide from: a hypervisor lock-holder-preemption
+      // window (observed: 48% guest-sys time, executors on-CPU spinning
+      // in futex, build 10x slow) leaves single-thread spin AND
+      // pure-CPU capacity probes flat, but balloons the build's own
+      // CPU-per-doc. The parent compares cpuSec/doc across the pair to
+      // veto fake-quiet rounds.
+      val run = new java.util.concurrent.atomic.AtomicLong
+      val cpu = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            run.addAndGet(m.executorRunTime) // ms
+            cpu.addAndGet(m.executorCpuTime) // ns
+            ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
       val sec = Bench.buildTimedSec(spark, nDocs, corpusDir, corpusDocs)
+      // listener bus is async; give stragglers a moment before reading
+      Thread.sleep(500)
+      spark.sparkContext.removeSparkListener(listener)
       // stdout is the parent's capture channel; the marker keeps the
       // line findable among any stray Spark WARNs
-      println(f"GRAFT_HALF docsPerSec=${nDocs / sec}%.1f sec=$sec%.2f")
+      println(f"GRAFT_HALF docsPerSec=${nDocs / sec}%.1f sec=$sec%.2f " +
+              f"cpuSec=${cpu.get / 1e9}%.2f runSec=${run.get / 1e3}%.2f")
     } finally spark.stop()
     // Spark's nonDaemon threads can outlive stop(); exit explicitly so
     // the parent's waitFor returns promptly
