@@ -786,7 +786,14 @@ object Bench {
             round += 1
             continue = false
           } else {
-            val capSecH = buildCap()
+            // the high half's wall is additionally capped relative to
+            // the low half just measured: at any plausible efficiency
+            // (>= 0.4) the wide build finishes in roundDocs/(1.6*l), so
+            // a half exceeding ~2x that is storm-bound and worthless —
+            // killing it early buys more sampling rounds per budget,
+            // which is exactly what finds the quiet window
+            val capSecH = math.min(buildCap(),
+              math.max(60.0, 2.0 * roundDocs / (1.6 * l) + 20.0))
             val capH = parCapacityWallMs(coresHigh)
             val ((h, cpuH), spinH) = gauged(
               runHalf(coresHigh, roundDocs, corpusDir, benchDocs, capSecH))
