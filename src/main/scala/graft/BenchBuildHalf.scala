@@ -23,9 +23,18 @@ package graft
   * (Spark INTERNAL_ERROR on a later round's collect).
   *
   * Args: cores nDocs corpusDir corpusDocs warmDocs
-  * Prints exactly one line `GRAFT_HALF docsPerSec=<n> sec=<s>` on
-  * success; exits nonzero on failure. Timed region identical to the
-  * in-JVM path ([[Bench.buildTimedSec]]).
+  * Prints exactly one line
+  * `GRAFT_HALF docsPerSec=<n> sec=<s> cpuSec=<c> runSec=<r>` on
+  * success; exits nonzero on failure. The parent parses docsPerSec AND
+  * cpuSec (the timed region's aggregate executor CPU — input to the
+  * quiet-round cpu-ratio veto), so all four fields are part of the
+  * contract. Timed region identical to the in-JVM path
+  * ([[Bench.buildTimedSec]]).
+  *
+  * `GRAFT_HALF_PHASES=1` is a DIAGNOSTIC mode: it prints GRAFT_PHASE
+  * lines and exits without ever printing a GRAFT_HALF line, so it is
+  * incompatible with a full Bench run (the parent would record every
+  * half as failed). Use it only when invoking this main directly.
   */
 object BenchBuildHalf {
   def main(args: Array[String]): Unit = {

@@ -96,9 +96,12 @@ object SparkEntry {
   /** Decode every segment back to (term, doc_id, tf) — the full
     * encode->store->decode chain surfaces to the oracle compare. */
   private def decodedPostings(spark: SparkSession, sfDir: String,
-                              indexType: String): DataFrame = {
+                              indexType: String): DataFrame =
+    decodedPostingsOf(spark, indexOf(spark, sfDir, indexType))
+
+  private def decodedPostingsOf(spark: SparkSession,
+                                idx: BuiltIndex): DataFrame = {
     import spark.implicits._
-    val idx = indexOf(spark, sfDir, indexType)
     val meta = idx.meta
     // label decoded postings with term strings via a termId join — the
     // dictionary never reaches the driver (at web scale it is 10^8+ terms)
@@ -273,9 +276,14 @@ object SparkEntry {
       val raw = Oracle.postings(s, dir)
       Seq("block_optpfor", "block_interpolative", "block_varint",
           "block_mixed", "ef", "single", "uniform", "opt").map { t =>
-        val dec = decodedPostings(s, dir, t)
+        val idx = indexOf(s, dir, t)
+        val dec = decodedPostingsOf(s, idx)
         val bad = dec.unionAll(raw).groupBy("term", "doc_id", "tf")
           .agg(count(lit(1)).as("c")).filter($"c" =!= 2).count()
+        // alternate families are one-shot builds: free their build-internal
+        // caches here or each sweep pins 7 corpus-token-sized datasets for
+        // the rest of the (long-lived Verify) session
+        if (t != "block_optpfor") idx.release()
         (t, bad)
       }.toDF("index_type", "mismatches").orderBy("index_type")
     }
@@ -314,6 +322,7 @@ object SparkEntry {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$dirPart/manifests/shard-0.json"),
         s"""{"shard": 0, "segments": 1, "postings": 1, "occ": 1, "bytes": 1, "inputDocs": $shardSize, "wallMillis": 0, "indexType": "block_optpfor", "builtAtEpochMs": 0, "attempt": "partial", "formatVersion": ${IndexStore.FormatVersion}}""")
+      p0.release() // one-shot partial build: data is on disk above
       val resumed = IndexStore.buildResumable(s, d, "block_optpfor", shardSize,
                                               dirPart, 8)
       val resumeBad = mismatches(segMap(resumed), fullSegs)
@@ -322,6 +331,8 @@ object SparkEntry {
       val merged = Merge.mergeShards(s, fine, 4)
       val direct = IndexBuilder.build(s, d, "block_optpfor", shardSize * 4, 8)
       val mergeBad = mismatches(segMap(merged), segMap(direct))
+      fine.release() // after segMap(merged): merged decodes fine's segments
+      direct.release()
 
       Seq(("merge_byte_identical", mergeBad),
           ("resume_byte_identical", resumeBad))

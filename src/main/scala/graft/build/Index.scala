@@ -28,11 +28,24 @@ final case class IndexMeta(numDocs: Long, avgLen: Float, shardSize: Long,
                            indexType: String, numTerms: Long,
                            numPostings: Long)
 
-/** In-memory handle on a built index (datasets remain distributed). */
+/** In-memory handle on a built index (datasets remain distributed).
+  *
+  * `release` frees the build-internal persisted datasets (the
+  * tokens-sized term-ranged layout, the dictionary cache, and the
+  * corpus cache when the builder created it). Callers that build
+  * one-shot indexes in a long-lived session MUST invoke it once they
+  * have forced everything they need from `segments`/`norms`/`dict` —
+  * otherwise each build pins a corpus-token-sized cache for the
+  * session lifetime and starves later jobs of execution memory
+  * (observed as a 16-core build spilling where a 4-core one did not).
+  * After release, re-consuming the datasets recomputes from source.
+  * Indexes loaded from disk or derived (merge/hybrid) default to a
+  * no-op. */
 final case class BuiltIndex(meta: IndexMeta,
                             dict: Dataset[DictEntry],
                             segments: Dataset[Segment],
-                            norms: Dataset[ShardNorms])
+                            norms: Dataset[ShardNorms],
+                            release: () => Unit = () => ())
 
 object IndexBuilder {
 
@@ -101,7 +114,13 @@ object IndexBuilder {
             onlyShards: Option[Set[Int]] = None): BuiltIndex = {
     import spark.implicits._
 
-    val docsP = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the corpus only if the caller has not already: callers like
+    // SparkEntry.docsOf pass a session-cached dataset, and unpersisting
+    // THAT from release() would silently evict the caller's cache
+    val docsOwned = docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val docsP =
+      if (docsOwned) docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
     val (numDocs, sumLen) = docsP.agg(count(lit(1)), sum($"len"))
       .as[(Long, Long)].head()
     require(numDocs > 0, "empty corpus")
@@ -219,6 +238,12 @@ object IndexBuilder {
     val numPostings = 0L // filled when persisted; avoid an extra job here
     BuiltIndex(IndexMeta(numDocs, avgLen, shardSize, indexType, numTerms,
                          numPostings),
-               dict, segments, norms)
+               dict, segments, norms,
+               release = () => {
+                 byTerm.unpersist(blocking = false)
+                 dict.unpersist(blocking = false)
+                 if (docsOwned) docsP.unpersist(blocking = false)
+                 ()
+               })
   }
 }

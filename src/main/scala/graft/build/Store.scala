@@ -172,6 +172,10 @@ object IndexStore {
       writeString(spark, s"$dir/meta.json",
                   metaToJson(idx.meta.copy(numPostings = totalPostings)))
       segs.unpersist()
+      // everything is on disk now; free the build-internal caches (the
+      // tokens-sized layout + dict) — resumable builds run in long-lived
+      // sessions where leaked build caches accumulate across shards/gates
+      idx.release()
     }
     read(spark, dir)
   }

@@ -90,7 +90,12 @@ object Tokenize {
 object DocIds {
   /** Dense docIDs by ORDER BY url, scalable: range-partition by url,
     * sort within partitions, per-partition counts -> prefix offsets ->
-    * per-partition id assignment. No single-partition window. */
+    * per-partition id assignment. No single-partition window.
+    *
+    * OWNERSHIP: the returned dataset is persisted and already
+    * materialized; the CALLER must `unpersist()` it when done — in a
+    * long-lived session, un-freed assignments accumulate alongside the
+    * build-internal caches (see BuiltIndex.release). */
   def assign(spark: SparkSession, corpus: Dataset[CorpusDoc],
              partitions: Int = 32): Dataset[DocRow] = {
     import spark.implicits._
@@ -130,7 +135,14 @@ object Dictionary {
   /** Dense termIDs by ORDER BY term with global df/cf — same scalable
     * range-sort + offsets scheme. The reference presumes ids assigned
     * upstream in list order (/root/reference/README.md:68-70); this fixes
-    * the contract to lexicographic term order. */
+    * the contract to lexicographic term order.
+    *
+    * OWNERSHIP: the returned dataset is persisted and already
+    * materialized; the CALLER must `unpersist()` it when done (same
+    * contract as DocIds.assign). The fused IndexBuilder.build derives
+    * its dictionary internally and frees it via BuiltIndex.release; this
+    * standalone path exists for callers that need a dictionary without
+    * an index. */
   def build(spark: SparkSession, termDocFreqs: DataFrame,
             partitions: Int = 32): Dataset[DictEntry] = {
     import spark.implicits._

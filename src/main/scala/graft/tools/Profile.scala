@@ -112,7 +112,8 @@ object Profile {
         t(s"[$cores] full build")(
           { val idx = IndexBuilder.build(s2, docs, "block_optpfor", 1L << 21, 64)
             idx.segments.agg(org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.lit(1))).collect() })
+              org.apache.spark.sql.functions.lit(1))).collect()
+            idx.release() })
         s2.stop()
       }
       return

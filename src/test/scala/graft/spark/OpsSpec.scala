@@ -201,9 +201,9 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     // every reported cosine must equal the exact cosine of that pair
     approx.foreach { case (q, nb, cq) =>
-      val exact = allCos.get((q, nb))
-      assert(exact.contains(cq),
-             s"IVF cos mismatch for ($q,$nb): got $cq, exact=$exact")
+      val exactCosOpt = allCos.get((q, nb))
+      assert(exactCosOpt.contains(cq),
+             s"IVF cos mismatch for ($q,$nb): got $cq, exact=$exactCosOpt")
     }
     val approxByQ = approx.map(r => (r._1, r._2)).groupBy(_._1)
     val recalls = qids.map { q =>
