@@ -837,12 +837,54 @@ object Bench {
             val roundDocs = math.min(benchDocs,
               math.min(byBudget2,
                        math.max(benchDocs / 8, (tpSizeEst * 100).toInt)))
-            val r0 = System.nanoTime()
+            var r0 = System.nanoTime()
             val capSecL = buildCap()
-            val capL = pfCap
-            val lockL = pfLock
-            val ((l, cpuL), spinL) = gauged(
-              runHalf(coresLow, roundDocs, corpusDir, benchDocs, capSecL))
+            var capL = pfCap
+            var lockL = pfLock
+            var l = 0.0; var cpuL = 0.0; var spinL = 0.0
+            // between-halves weather probe — reused as the high half's
+            // cap/lock gauge columns when it launches
+            var capH = 0.0; var lockH = 0.0
+            // The storm that poisons a round typically ARRIVES while the
+            // low half runs (r6-run1: launch probes quiet, then high-side
+            // TaskMetrics CPU 6-11x the low side's, capH 40% over the run
+            // best — two junk rounds plus one 60 s abort). Launching the
+            // wide half into it wastes its whole wall cap and a round;
+            // re-running the ~25-100 s LOW half after waiting out the
+            // storm is cheaper and keeps the pair temporally adjacent:
+            // the low half the round keeps is always the one measured
+            // immediately before the high half launches.
+            var lowTries = 0
+            var lowSettled = false
+            while (!lowSettled) {
+              lowTries += 1
+              val g = gauged(
+                runHalf(coresLow, roundDocs, corpusDir, benchDocs, capSecL))
+              l = g._1._1; cpuL = g._1._2; spinL = g._2
+              if (l <= 0 || elapsedSec > deadline) lowSettled = true
+              else {
+                val (c, s, lk) = probeWeather()
+                capH = c; lockH = lk
+                // room left for a quiet wait + low re-run + high half?
+                val fitsRetry =
+                  elapsedSec + 2.2 * roundDocs / l + 30 < deadline
+                if (probesQuiet(c, s, lk) || lowTries >= 3 || !fitsRetry)
+                  lowSettled = true
+                else {
+                  stamp(f"scaling round ${round + 1}: storm arrived " +
+                        f"mid-round (cap=$c%.0f/${bestCap}%.0fms " +
+                        f"spin=$s%.0f/${bestSpin}%.0fms " +
+                        f"lock=$lk%.0f/${bestLock}%.0fms); discarding the " +
+                        f"low half and waiting for quiet (try $lowTries)")
+                  val (c2, _, lk2) =
+                    preFlight(deadline - 1.8 * roundDocs / l)
+                  capL = c2; lockL = lk2
+                  // lastRoundSec sizes the NEXT round's budget checks:
+                  // measure from the kept low half's start, not the waits
+                  r0 = System.nanoTime()
+                }
+              }
+            }
             def pessimize(capSec: Double): Unit = {
               tpLowPrev = tpLowEst
               tpLowEst = math.max(1.0, roundDocs / capSec / 4)
@@ -877,17 +919,13 @@ object Bench {
               // a half exceeding ~2x that is storm-bound and worthless —
               // killing it early buys more sampling rounds per budget,
               // which is exactly what finds the quiet window.
-              // NO pre-flight wait here: the pair must stay temporally
-              // adjacent for the ratio to mean anything — if a storm
-              // arrived mid-round, launching into it and letting the
-              // relative cap kill the half is cheaper than decoupling
-              // the pair.
+              // The low-half retry loop above already waited out any
+              // storm the between-halves probe could see; if one slipped
+              // past the gauges (lock-holder preemption can), the
+              // relative cap kills the half cheaply rather than
+              // decoupling the pair.
               val capSecH = math.min(buildCap(),
                 math.max(60.0, 2.0 * roundDocs / (1.6 * l) + 20.0))
-              val capH = parCapacityWallMs(coresHigh)
-              val lockH = lockContentionWallMs(coresHigh)
-              if (capH < bestCap) bestCap = capH
-              if (lockH < bestLock) bestLock = lockH
               val ((h, cpuH), spinH) = gauged(
                 runHalf(coresHigh, roundDocs, corpusDir, benchDocs, capSecH))
               lastRoundSec = (System.nanoTime() - r0) / 1e9
