@@ -443,8 +443,15 @@ object Bench {
   private def runPair(coresLow: Int, coresHigh: Int, nDocs: Int,
                       corpusDir: String, corpusDocs: Int,
                       maxSec: Double): ((Double, Double), (Double, Double)) = {
+    // low at the bottom of the CPU range, high at the TOP: a 3-rep
+    // placement probe (tools/cpuset_probe.sh) read the upper range
+    // never-worse under this box's storms (one rep 9.7k vs 22.9k
+    // docs/s, one rep equal-stormy, one rep equal-quiet); the parent's
+    // unpinned gauges land on the free middle
+    val nProc = Runtime.getRuntime.availableProcessors
     val lowSet = s"0-${coresLow - 1}"
-    val highSet = s"$coresLow-${coresLow + coresHigh - 1}"
+    val highStart = math.max(coresLow, nProc - coresHigh)
+    val highSet = s"$highStart-${highStart + coresHigh - 1}"
     val cl = spawnHalf(coresLow, lowSet, nDocs, corpusDir, corpusDocs)
     val ch = spawnHalf(coresHigh, highSet, nDocs, corpusDir, corpusDocs)
     if (cl.isEmpty || ch.isEmpty) {
@@ -836,9 +843,14 @@ object Bench {
     // needs (r4 stopped on count with every round disturbed). The 3×
     // hard cap is a runaway backstop; the budget checks in the loop
     // body remain the real bound.
+    // the quiet hunt must find a quiet round AT MEANINGFUL SIZE: a
+    // quiet 150k-doc round sits under the ~0.78 fixed-overhead eff
+    // ceiling and proves nothing, so it must not end the extension
+    def meaningfulQuiet(r: RoundSample): Boolean =
+      quietRound(r) && r.docs >= benchDocs / 2
     def wantMore: Boolean =
       round < maxRounds ||
-        (round < maxRounds * 3 && !rounds.exists(quietRound))
+        (round < maxRounds * 3 && !rounds.exists(meaningfulQuiet))
 
     // --- pre-flight launch gate: wait out storms, THEN build. A
     // poisoned build costs 80-700 s while a probe batch costs ~0.5 s
@@ -979,10 +991,18 @@ object Bench {
               tpLowEst =
                 if (l > 0) math.min(tpLowEst, l)
                 else math.max(1.0, roundDocs / capSecP / 4)
-              tpSizeEst = tpLowEst
+              // sizing shrinks by halving, not cratering: the abort was
+              // weather, and a 150k-doc floor round has a ~0.78 eff
+              // CEILING from fixed per-build cost — systematically
+              // undersized rounds can never evidence 0.8 even when quiet
+              tpSizeEst = math.max(tpSizeEst / 2, tpLowEst)
             } else {
               tpLowEst = math.min(l, h * coresLow / coresHigh)
-              tpSizeEst = l
+              // sizing tracks the BEST low-side rate seen: a stormy
+              // round's dilated l would shrink the next round under the
+              // overhead ceiling; budget safety is the caps' job
+              // (buildCap + the 1.2x-low high kill), not the sizer's
+              tpSizeEst = math.max(tpSizeEst, l)
             }
             val r = RoundSample(math.max(l, 0.0), math.max(h, 0.0), roundDocs,
                                 spinP, spinP, capL, capH,

@@ -324,6 +324,36 @@ object Ann {
   def ivfTopK(spark: SparkSession, embeddings: DataFrame,
               queryIds: Seq[Long], k: Int = 10, nlist: Int = 0,
               nProbe: Int = 8): DataFrame = {
+    val idx = buildIvf(spark, embeddings, nlist)
+    val res = ivfTopKWith(spark, idx, embeddings, queryIds, k, nProbe)
+    idx.release()
+    res
+  }
+
+  /** A trained IVF index whose inverted lists (vector -> nearest
+    * centroid assignment) are persisted and materialized, so a session
+    * serving many top-k queries pays training + the O(N) assignment
+    * pass ONCE instead of per call. Call [[IvfIndex.release]] when done
+    * — in a long-lived session un-released indexes pin an N-row cache
+    * each (same lifecycle contract as BuiltIndex.release). */
+  final class IvfIndex private[ops] (
+      val nlist: Int,
+      private[ops] val cents: org.apache.spark.broadcast.Broadcast[
+        (Array[Array[Double]], Array[Double])],
+      val assigned: DataFrame) {
+    /** Free the persisted inverted lists and executor centroid copies
+      * (unpersist, not destroy: results derived from this index stay
+      * re-shippable through their lineage). */
+    def release(): Unit = {
+      assigned.unpersist(blocking = false)
+      cents.unpersist(false)
+    }
+  }
+
+  /** Train centroids and materialize the inverted lists once (the
+    * reusable half of [[ivfTopK]]). */
+  def buildIvf(spark: SparkSession, embeddings: DataFrame,
+               nlist: Int = 0): IvfIndex = {
     import spark.implicits._
     val lists = if (nlist > 0) nlist else defaultNlist(embeddings.count())
     val trained = trainIvfCentroids(spark, embeddings, lists)
@@ -334,6 +364,19 @@ object Ann {
         (nearestCentroid(v, cents.value._1, cents.value._2), id)
       }
       .toDF("cluster", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize: queries must never re-run the O(N) pass
+    new IvfIndex(lists, cents, assigned)
+  }
+
+  /** Probe a prebuilt [[IvfIndex]]: rank the nProbe nearest lists'
+    * members by exact cosine, top-k per query. */
+  def ivfTopKWith(spark: SparkSession, idx: IvfIndex,
+                  embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                  nProbe: Int = 8): DataFrame = {
+    import spark.implicits._
+    val cents = idx.cents
+    val assigned = idx.assigned
     val probes = embeddings.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -362,16 +405,14 @@ object Ann {
       .select(col("query_id").cast("long"), col("rank").cast("long"),
               col("neighbor_id").cast("long"), col("cos_q"))
       .orderBy("query_id", "rank")
-    // Materialize the (Q·k)-row result, then unpersist the centroid
-    // broadcast: executor copies are freed immediately instead of one
-    // nlist×dim matrix leaking per call in long-lived sessions, while
-    // the broadcast stays re-shippable (destroy() would poison the
-    // cached frame's lineage — task serialization ships the full plan
-    // even for cached partitions). Callers may unpersist the returned
-    // frame when done (the gates do).
+    // Materialize the (Q·k)-row result before returning: the centroid
+    // broadcast and inverted lists belong to the IvfIndex, whose
+    // release() (called by ivfTopK, or by the session owner when done
+    // querying) frees executor copies without poisoning this frame's
+    // lineage. Callers may unpersist the returned frame when done (the
+    // gates do).
     val res = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     res.count()
-    cents.unpersist(false)
     res
   }
 

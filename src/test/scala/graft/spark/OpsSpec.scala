@@ -217,6 +217,23 @@ class OpsSpec extends AnyFunSuite {
     assert(exactCos.nonEmpty)
   }
 
+  test("prebuilt IvfIndex serves repeated queries identically to one-shot") {
+    val oneShot = Ann.ivfTopK(spark, embeddings, 0L until 10L, 5).collect()
+      .map(_.toSeq).toSet
+    val idx = Ann.buildIvf(spark, embeddings)
+    try {
+      // two query batches against ONE assignment pass; the union of the
+      // per-batch results must equal the one-shot answer (training is
+      // deterministic, so the index is bit-identical across builds)
+      val a = Ann.ivfTopKWith(spark, idx, embeddings, 0L until 5L, 5)
+        .collect().map(_.toSeq).toSet
+      val b = Ann.ivfTopKWith(spark, idx, embeddings, 5L until 10L, 5)
+        .collect().map(_.toSeq).toSet
+      assert(a.union(b) == oneShot)
+      assert(a.intersect(b).isEmpty)
+    } finally idx.release()
+  }
+
   test("embedding cosine near-dup pairs match brute force") {
     val got = Ann.cosinePairs(spark, embeddings, 300L).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
