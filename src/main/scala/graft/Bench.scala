@@ -274,6 +274,48 @@ object Bench {
   private[graft] def newSessionFor(cores: Int): SparkSession =
     newSession(cores)
 
+  /** A local-cluster session: `executors` SEPARATE executor JVMs of
+    * `coresPerExec` cores and `execMemMb` MB heap each, plus this JVM
+    * as the driver. This is the scaling halves' session (see
+    * [[BenchBuildHalf]]): the north rule compares N vs 4N EXECUTORS,
+    * and a single 16-thread local[16] JVM is not four 4-thread
+    * executor JVMs — one shared G1 heap serving 16 allocating threads
+    * measured ~35% slower per doc at the 1.2M-doc round size than the
+    * same work split across 4-thread JVMs, a runtime artifact a real
+    * 4-executor cluster does not have. Identical per-executor JVMs
+    * make the two halves differ in exactly one thing: executor count.
+    *
+    * Requires SPARK_SCALA_VERSION=2.13 in this process's environment
+    * (the standalone ExecutorRunner's launcher otherwise looks for a
+    * source-tree build directory). Executor JVMs inherit this
+    * process's cpuset (Linux affinity inherits across fork/exec), so
+    * taskset-confining the driver confines the whole cluster. */
+  private[graft] def newClusterSession(executors: Int, coresPerExec: Int,
+                                       execMemMb: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,$execMemMb]")
+      .appName(s"graft-bench-${executors}x$coresPerExec")
+      .config("spark.sql.shuffle.partitions",
+              math.max(executors * coresPerExec, 8))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.executor.memory", s"${execMemMb}m")
+      // app classes are not shipped by spark-submit here; executors
+      // need the driver's classpath to deserialize task closures
+      .config("spark.executor.extraClassPath",
+              System.getProperty("java.class.path"))
+      // AlwaysPreTouch: executors fault their whole heap in at startup
+      // (outside the timed region) instead of page-faulting through the
+      // timed build — 4 cold 12g heaps growing concurrently read as
+      // guest-sys CPU charged to tasks
+      .config("spark.executor.extraJavaOptions",
+              (Jdk17AddOpens :+ "-XX:+AlwaysPreTouch").mkString(" "))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   // mirrors build.sbt's jdk17AddOpens: Spark 4 on JDK 17 needs these in
   // every child JVM created outside spark-submit
   private val Jdk17AddOpens: Seq[String] = Seq(
@@ -325,17 +367,31 @@ object Bench {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"),
       "java").getAbsolutePath
-    // heap scales with cores (default 1 GiB/core, executor-realistic):
-    // a real 4N-executor cluster has 4N x the memory of an N-executor
-    // one, so giving both halves one fixed heap hands the narrow half
-    // 4x the per-task memory — a structural unfairness no cluster has.
-    // Bigger is NOT better in absolute terms either: a 32g heap on the
-    // 16-core half measured 8x SLOWER than 16g (G1 young-gen geometry
-    // balloons, locality dies), so the per-core constant is kept small.
+    // -Xmx here is the child DRIVER's heap. In the default cluster
+    // mode (see BenchBuildHalf) executor heaps are sized separately
+    // and identically per executor (GRAFT_HALF_EXEC_MB), which is
+    // what makes the pair fair: per-JVM memory config identical, the
+    // halves differ only in executor count. Heap-based protocols were
+    // both measured distorting the 1.2M-doc round: per-core heap
+    // starves the narrow half's CACHE (4g spills the shuffle working
+    // set: 6.4k docs/s, runSec/cpuSec 1.53, GC flat; 8g despills it:
+    // 10.3k) so a quiet pair reads a fake-superlinear ~1.2 that the
+    // plausibility cap discards, while equal single-JVM heap starves
+    // nothing but leaves the 16-THREAD JVM ~35% slower per doc than
+    // 4-thread JVMs (cpuSec/doc 1.45x, zero spill) so a quiet pair
+    // reads ~0.6. Identical 4-core executor JVMs remove both.
+    // SPARK_GRAFT_HALF_MEM overrides the driver heap;
+    // SPARK_GRAFT_HALF_MEM_PER_CORE_GB restores the round-5 per-core
+    // single-JVM protocol for comparison runs (with GRAFT_HALF_MODE=
+    // local).
     val mem = sys.env.get("SPARK_GRAFT_HALF_MEM").getOrElse {
-      val perCoreGb =
-        sys.env.getOrElse("SPARK_GRAFT_HALF_MEM_PER_CORE_GB", "1").toInt
-      s"${perCoreGb * cores}g"
+      sys.env.get("SPARK_GRAFT_HALF_MEM_PER_CORE_GB") match {
+        case Some(perCoreGb) => s"${perCoreGb.toInt * cores}g"
+        case None =>
+          if (sys.env.getOrElse("GRAFT_HALF_MODE", "cluster") == "cluster")
+            "4g" // cluster mode: executors hold the data, not the driver
+          else "16g"
+      }
     }
     val warmDocs = math.max(20000, math.min(nDocs / 4, 150000))
     val cmd = Seq("taskset", "-c", cpuList, javaBin) ++
@@ -346,8 +402,13 @@ object Bench {
         "graft.BenchBuildHalf", cores.toString, nDocs.toString,
         corpusDir, corpusDocs.toString, warmDocs.toString)
     val p =
-      try new ProcessBuilder(cmd: _*).start()
-      catch { case _: java.io.IOException => return None }
+      try {
+        val pb = new ProcessBuilder(cmd: _*)
+        // the standalone executor launcher inside the child resolves
+        // the scala version from a source-tree layout unless told
+        pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+        pb.start()
+      } catch { case _: java.io.IOException => return None }
     // drain both streams (a full pipe would deadlock the child); keep
     // only a short stderr tail for failure diagnosis
     val outBuf = new java.lang.StringBuilder
@@ -397,7 +458,13 @@ object Bench {
       cpuGaugeAvailable = false
       return (buildThroughput(cores, nDocs, corpusDir, corpusDocs, maxSec), 0.0)
     }
-    spawnHalf(cores, s"0-${cores - 1}", nDocs, corpusDir, corpusDocs) match {
+    // top of the CPU range: a 3-rep placement probe (tools/
+    // cpuset_probe.sh) read the upper range never-worse under this
+    // box's storms; sequential halves never contend with each other
+    val nProc = Runtime.getRuntime.availableProcessors
+    val start = math.max(0, nProc - cores)
+    spawnHalf(cores, s"$start-${start + cores - 1}", nDocs, corpusDir,
+              corpusDocs) match {
       case None =>
         stampErr("child spawn failed; falling back to in-JVM half")
         cpuGaugeAvailable = false
@@ -675,13 +742,21 @@ object Bench {
     val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH",
                                       (coresLow * 4).toString).toInt
-    // Concurrent-pair mode (default): both halves run in the SAME wall
-    // window on disjoint cpusets so this host's dominant storm mode —
-    // whole-VM wall-clock dilation with no guest steal accounting —
-    // hits both equally and cancels in the ratio (see runPair). Set
-    // SPARK_GRAFT_SCALE_PAIR=seq for the round-5 sequential protocol.
+    // SEQUENTIAL pairs (default). The round-6 concurrent-pair variant
+    // (both halves in one wall window on disjoint cpusets, so whole-VM
+    // dilation cancels in the ratio) measured BIMODAL at full round
+    // size and can never evidence [0.8, 1.05]: quiet windows read eff
+    // ~1.05 (the 4-core half is depressed ~33% by the 16-core
+    // neighbour while the wide half loses only ~15% — on a 32-vCPU
+    // guest over ~16 physical cores, ANY 4+16 split must co-schedule
+    // sibling threads: 20 > 16), and storm windows read ~0.47 (the
+    // asymmetric dilation it was meant to cancel doesn't cancel).
+    // Isolated sequential halves have no cross-talk; storms are dodged
+    // by the pre-flight gate, the between-halves re-run, and the
+    // relative wall caps. SPARK_GRAFT_SCALE_PAIR=conc re-enables the
+    // concurrent variant for comparison runs.
     val pairConcurrent =
-      !sys.env.get("SPARK_GRAFT_SCALE_PAIR").contains("seq") &&
+      sys.env.get("SPARK_GRAFT_SCALE_PAIR").contains("conc") &&
       coresLow + coresHigh <= Runtime.getRuntime.availableProcessors
     // Interleaved rounds, each round = one low-cores build immediately
     // followed by one high-cores build on the same prepped corpus. The

