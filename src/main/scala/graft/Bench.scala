@@ -252,15 +252,31 @@ object Bench {
         all.filter($"url" < "https://example.org/doc/%010d".format(nDocs))
       else all
     val ((docs, idx), sec) = time {
-      val docs = DocIds.assign(spark, corpus, partitions = 64)
+      // DISK_ONLY corpus caches: the id-pinning materialization (see
+      // DocIds.assign) at zero heap — reads come back through the page
+      // cache, and the round size is not bounded by executor memory
+      val docs = DocIds.assign(spark, corpus, partitions = 64,
+        storage = org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val idx = IndexBuilder.build(spark, docs, "block_optpfor",
                                    shardSize = 1L << 21,
                                    buildPartitions = 64)
-      // force the full pipeline incl. norms
-      idx.segments.agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("bytes")))).collect()
-      idx.norms.count()
+      // force the full pipeline incl. norms. The two force jobs are
+      // independent (segments reads the encode pipeline, norms the
+      // docId cache) — submit them from separate threads so the norms
+      // job fills the segment job's driver-side planning/collect
+      // bubbles instead of queueing behind them. Spark stage-level
+      // locking makes shared upstream stages run once.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fSeg = Future {
+        idx.segments.agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("bytes")))).collect()
+      }
+      val fNorm = Future { idx.norms.count() }
+      Await.result(fSeg, Duration.Inf)
+      Await.result(fNorm, Duration.Inf)
       (docs, idx)
     }
     // outside the timed region: free the build's persisted intermediates
@@ -297,6 +313,11 @@ object Bench {
       .appName(s"graft-bench-${executors}x$coresPerExec")
       .config("spark.sql.shuffle.partitions",
               math.max(executors * coresPerExec, 8))
+      // bin-packed parquet scans at the default 128 MB produce exactly
+      // one task wave at 16-wide (observed: a 16-task scan stage whose
+      // slowest task idles 15 cores) — finer splits give the scheduler
+      // slack to rebalance stragglers on BOTH cluster sizes
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

@@ -136,6 +136,52 @@ object BenchBuildHalf {
       val cpu = new java.util.concurrent.atomic.AtomicLong
       val memSpill = new java.util.concurrent.atomic.AtomicLong
       val diskSpill = new java.util.concurrent.atomic.AtomicLong
+      // GRAFT_HALF_JOBS=1: also print one GRAFT_JOB line per Spark job
+      // of the timed build (wall + preceding driver-side gap) — the
+      // undistorted attribution of non-task wall (collects, broadcast
+      // construction, planning/codegen live in the gaps). Diagnostic;
+      // the parent ignores the extra lines.
+      val jobLog =
+        if (sys.env.get("GRAFT_HALF_JOBS").contains("1"))
+          new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]
+        else null
+      // per-stage attribution: (cpuMs, runMs, gcMs, fetchWaitMs,
+      // shuffleWriteMs, tasks) accumulated from task ends
+      val stageAcc =
+        if (jobLog == null) null
+        else new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]
+      val jobListener =
+        if (jobLog == null) null
+        else new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            starts.put(js.jobId, js.time); ()
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.getOrDefault(je.jobId, je.time)
+            jobLog.add((je.jobId, s, je.time)); ()
+          }
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              val a = stageAcc.computeIfAbsent(te.stageId,
+                                               _ => new Array[Long](6))
+              a.synchronized {
+                a(0) += m.executorCpuTime / 1000000
+                a(1) += m.executorRunTime
+                a(2) += m.jvmGCTime
+                a(3) += m.shuffleReadMetrics.fetchWaitTime
+                a(4) += m.shuffleWriteMetrics.writeTime / 1000000
+                a(5) += 1
+              }
+            }
+          }
+        }
+      if (jobListener != null) spark.sparkContext.addSparkListener(jobListener)
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -150,10 +196,27 @@ object BenchBuildHalf {
         }
       }
       spark.sparkContext.addSparkListener(listener)
+      val t0 = System.currentTimeMillis()
       val sec = Bench.buildTimedSec(spark, nDocs, corpusDir, corpusDocs)
       // listener bus is async; give stragglers a moment before reading
       Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
+      if (jobListener != null) {
+        spark.sparkContext.removeSparkListener(jobListener)
+        import scala.jdk.CollectionConverters._
+        var prevEnd = t0
+        jobLog.asScala.toSeq.sortBy(_._2).foreach { case (id, s, e) =>
+          println(f"GRAFT_JOB id=$id%-3d gapMs=${s - prevEnd}%-6d " +
+                  f"wallMs=${e - s}%-6d")
+          prevEnd = e
+        }
+        println(f"GRAFT_JOB tail gapMs=${t0 + (sec * 1000).toLong - prevEnd}")
+        stageAcc.asScala.toSeq.sortBy(_._1).foreach { case (sid, a) =>
+          println(f"GRAFT_STAGE id=$sid%-3d cpuMs=${a(0)}%-7d runMs=${a(1)}%-7d " +
+                  f"gcMs=${a(2)}%-6d fetchMs=${a(3)}%-6d wrMs=${a(4)}%-6d " +
+                  f"tasks=${a(5)}")
+        }
+      }
       // stdout is the parent's capture channel; the marker keeps the
       // line findable among any stray Spark WARNs
       println(f"GRAFT_HALF docsPerSec=${nDocs / sec}%.1f sec=$sec%.2f " +

@@ -73,15 +73,61 @@ object Tokenize {
     text.toLowerCase(java.util.Locale.ROOT)
       .split("[^a-z0-9]+").filter(_.nonEmpty)
 
+  /** `tokens(text).length` without allocating: counts maximal [a-z0-9]
+    * runs in one char scan, lowercasing ASCII inline. The hot path of
+    * the docId-assignment len column — `tokens()` allocates a full
+    * lowercased copy plus two arrays per doc, which profiled as pure
+    * GC in the build's tokenize stages. Any non-ASCII char falls back
+    * to the exact `tokens()` path (String.toLowerCase has multi-char
+    * mappings, e.g. U+0130, that a char scan cannot reproduce). */
+  def countTokens(text: String): Int = {
+    val n = text.length
+    var i = 0
+    var cnt = 0
+    var in = false
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= 128) return tokens(text).length
+      val tok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+                (c >= '0' && c <= '9')
+      if (tok && !in) cnt += 1
+      in = tok
+      i += 1
+    }
+    cnt
+  }
+
   /** Per-document term frequencies without a token-level shuffle: one
-    * hash-map pass per document (map-side combine by construction). */
+    * hash-map pass per document (map-side combine by construction).
+    * Tokenizes by direct char scan on ASCII (no full-text lowercase
+    * copy, no regex, no token arrays — one String per token emitted is
+    * the only allocation); non-ASCII input falls back to `tokens()`
+    * for byte-exact agreement with the oracle tokenizer. */
   def termFreqs(text: String): Array[(String, Int)] = {
     val m = new java.util.HashMap[String, Int]()
-    tokens(text).foreach(t => m.merge(t, 1, (a: Int, b: Int) => a + b))
-    val out = new Array[(String, Int)](m.size)
+    val inc: java.util.function.BiFunction[Int, Int, Int] = (a, b) => a + b
+    val n = text.length
     var i = 0
+    var ascii = true
+    val sb = new java.lang.StringBuilder(24)
+    while (ascii && i < n) {
+      val c = text.charAt(i)
+      if (c >= 128) ascii = false
+      else {
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) sb.append(lc)
+        else if (sb.length > 0) { m.merge(sb.toString, 1, inc); sb.setLength(0) }
+        i += 1
+      }
+    }
+    if (!ascii) {
+      m.clear()
+      tokens(text).foreach(t => m.merge(t, 1, inc))
+    } else if (sb.length > 0) m.merge(sb.toString, 1, inc)
+    val out = new Array[(String, Int)](m.size)
+    var j = 0
     val it = m.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); out(i) = (e.getKey, e.getValue); i += 1 }
+    while (it.hasNext) { val e = it.next(); out(j) = (e.getKey, e.getValue); j += 1 }
     scala.util.Sorting.stableSort(out, (a: (String, Int), b: (String, Int)) => a._1 < b._1)
     out
   }
@@ -92,41 +138,53 @@ object DocIds {
     * sort within partitions, per-partition counts -> prefix offsets ->
     * per-partition id assignment. No single-partition window.
     *
-    * OWNERSHIP: the returned dataset is persisted and already
-    * materialized; the CALLER must `unpersist()` it when done — in a
-    * long-lived session, un-freed assignments accumulate alongside the
-    * build-internal caches (see BuiltIndex.release). */
+    * OWNERSHIP: the returned dataset is persisted (at `storage`) and
+    * already materialized; the CALLER must `unpersist()` it when done —
+    * in a long-lived session, un-freed assignments accumulate alongside
+    * the build-internal caches (see BuiltIndex.release).
+    *
+    * Ids come from `zipWithIndex` over the sorted relation PINNED AT
+    * THE RDD LEVEL. The pinning is a correctness requirement, not an
+    * optimization: every Dataset action compiles a fresh physical plan
+    * whose range exchange re-samples boundaries, so per-partition
+    * offsets collected under one plan do not bind a later plan's
+    * partitions (measured: 99,704/100,000 distinct ids and run-to-run
+    * instability with an unpinned Dataset-level offset scheme). A
+    * single RDD object shares its shuffle across all downstream jobs
+    * (map stages are skipped on re-execution), and zipWithIndex fixes
+    * its partition offsets once, so ids are stable however often the
+    * lineage re-executes.
+    *
+    * `storage`: MEMORY_AND_DISK by default; pass DISK_ONLY when the
+    * corpus exceeds executor memory (the bench/scaling path does) — the
+    * cache then costs zero heap and reads back through the page cache.
+    * `len` is computed on the MAP side of the sort, so re-executions
+    * and cache misses never re-tokenize. */
   def assign(spark: SparkSession, corpus: Dataset[CorpusDoc],
-             partitions: Int = 32): Dataset[DocRow] = {
+             partitions: Int = 32,
+             storage: org.apache.spark.storage.StorageLevel =
+               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : Dataset[DocRow] = {
     import spark.implicits._
     // column-level select BEFORE the typed stages so Catalyst prunes the
     // scan to (url, text): a typed .map would deserialize whole rows and
-    // drag the html payload (the bulk of a web corpus) through the sort
+    // drag the html payload (the bulk of a web corpus) through the sort.
+    // len (tokens per doc) is computed here, before the shuffle: one
+    // tokenize per doc total, carried as 4 bytes per row.
     val sorted = corpus.toDF()
       .select($"url", $"text").as[(String, String)]
+      .map { case (url, text) => (url, text, Tokenize.countTokens(text)) }
+      .toDF("url", "text", "len").as[(String, String, Int)]
       .repartitionByRange(partitions, $"url")
       .sortWithinPartitions($"url")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-    val out = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var next = bc.value(pid)
-      it.map { case (url, text) =>
-        val id = next
-        next += 1
-        DocRow(id, url, text, Tokenize.tokens(text).length)
-      }
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the assignment now so the sorted intermediate can be
-    // freed: holding both (~2x the corpus text) through the downstream
-    // build steals execution memory from its sorts/aggs — observed as a
-    // 16-core build spilling where a 4-core one did not. The range
-    // shuffle is deterministic (seeded sampler), so eviction-driven
-    // recompute of `out` is safe as well as unlikely.
+      .rdd // pin: one RDD instance = one sampled boundary set, reused
+    val out = spark.createDataset(
+      sorted.zipWithIndex().map { case ((url, text, len), id) =>
+        DocRow(id, url, text, len)
+      }).persist(storage)
+    // materialize now: downstream consumers read one pinned cache
+    // instead of re-sorting the corpus per action
     out.count()
-    sorted.unpersist(blocking = false)
     out
   }
 }
@@ -146,9 +204,16 @@ object Dictionary {
   def build(spark: SparkSession, termDocFreqs: DataFrame,
             partitions: Int = 32): Dataset[DictEntry] = {
     import spark.implicits._
-    val agg = termDocFreqs
+    // persist the vocab-shaped aggregate BEFORE the range shuffle: the
+    // RangePartitioner's sampling pass evaluates its whole input, so an
+    // unpersisted aggregate would run the (tokens-sized) upstream agg
+    // TWICE — once to sample boundaries, once to shuffle (measured
+    // ~18 s of a 58 s 1.2M-doc build). The cache is vocab-sized rows.
+    val pre = termDocFreqs
       .groupBy($"term")
       .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = pre
       .repartitionByRange(partitions, $"term")
       .sortWithinPartitions($"term")
       .select($"term", $"df", $"cf")
@@ -166,9 +231,10 @@ object Dictionary {
         DictEntry(term, id.toInt, df, cf)
       }
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // same lifecycle as DocIds.assign: materialize, free the aggregate
+    // same lifecycle as DocIds.assign: materialize, free the aggregates
     out.count()
     agg.unpersist(blocking = false)
+    pre.unpersist(blocking = false)
     out
   }
 }
