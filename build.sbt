@@ -38,5 +38,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 10g, not 32g: the guest advertises 125 GiB but the host backs only
+  // ~10 GiB at RAM speed — a JVM growing past it acquires pages at
+  // ~0.3 GiB/s and idle pages get reclaimed+re-faulted (measured:
+  // pre-touching 8g = 1.2s, 16g = 40s, 24g = 97s). A heap that stays
+  // under the cliff and lets Spark spill beats one that grows into it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "10g")}",
 )

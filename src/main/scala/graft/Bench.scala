@@ -329,9 +329,19 @@ object Bench {
       // AlwaysPreTouch: executors fault their whole heap in at startup
       // (outside the timed region) instead of page-faulting through the
       // timed build — 4 cold 12g heaps growing concurrently read as
-      // guest-sys CPU charged to tasks
+      // guest-sys CPU charged to tasks.
+      // ActiveProcessorCount=coresPerExec: every executor JVM inherits
+      // the PARENT's cpuset, so availableProcessors reads the whole
+      // half's width and each executor sizes G1 workers / ForkJoin /
+      // netty pools for it — 4 executors × ~13 GC threads on a 16-CPU
+      // half thrash GC pauses into task wall (measured: 314 s of
+      // task-GC across the corpus stages, 10.3k docs/s vs 27.3k on the
+      // 4-core half). A real 4-core executor node sizes for 4 CPUs;
+      // this flag makes the simulated one do the same, and makes the
+      // two halves' executors byte-identical in config.
       .config("spark.executor.extraJavaOptions",
-              (Jdk17AddOpens :+ "-XX:+AlwaysPreTouch").mkString(" "))
+              (Jdk17AddOpens ++ Seq("-XX:+AlwaysPreTouch",
+                s"-XX:ActiveProcessorCount=$coresPerExec")).mkString(" "))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -720,16 +730,16 @@ object Bench {
     // the JSON emission + stdout capture contract can be validated
     // without a 40-minute run.
     val smoke = sys.env.get("SPARK_GRAFT_BENCH_SMOKE").contains("1")
-    // 1.2M docs: the low-cores build must run ~100 s of parallel work
-    // for the ~3-5 s fixed per-build cost (job scheduling, sampling
-    // passes, offset collects) to stop dominating the high-cores wall.
-    // With eff = (W/4 + o) / (W/4 + 4o), a 10 s low build caps measured
-    // efficiency at ~0.55 and a 33 s one at ~0.78 even on a perfectly
-    // quiet host — the 400k-doc rounds of r3/r4-run1 were measuring
-    // overhead, not scaling. 100 s of low work puts the ceiling at
-    // ~0.90 (x the 0.92 multiprocess ceiling of this box).
+    // 3.6M docs: the high-cores build must run long enough that the
+    // ~10-16 s fixed per-build cost (job scheduling, sampling passes,
+    // offset/dict collects, stage barriers) stops dominating its wall.
+    // Measured at the 2-vs-8 pair (1 vs 4 identical 2-core executors,
+    // cpu ratio 1.04): 1.2M docs = 93 s low / 31 s high reads eff 0.75
+    // purely from the high side's fixed-cost fraction; the same fixed
+    // costs at 3.6M (~245 s low / ~72 s high) put the ceiling at ~0.85
+    // against a compute-rate ceiling (cpuSec ratio) of ~0.96.
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
-                                      if (smoke) "20000" else "1200000").toInt
+                                      if (smoke) "20000" else "3600000").toInt
     // hard wall-time budget for the whole bench: the scaling section
     // yields whatever rounds fit, and the JSON line is always emitted
     // (round 1 timed out at the driver with the line never printed)
@@ -756,11 +766,17 @@ object Bench {
     // workers from the machine, IO pools likewise) and measures ~2x
     // faster than a true 4-CPU node, structurally depressing efficiency;
     // confinement bounds GC/IO/worker threads to exactly N CPUs the way
-    // a real N-core executor node is bounded. The pair is 4 -> 16 by
-    // default: 16 stays within physical cores (local[32] pays the
-    // hyperthread ceiling, ~0.87 on pure-CPU multiprocess probes, vs
-    // ~0.92 for 4 -> 16).
-    val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "4").toInt
+    // a real N-core executor node is bounded. The pair is 2 -> 8 by
+    // default (1 vs 4 identical 2-core executors): 8-wide stays under
+    // this guest's memory-BANDWIDTH wall — 16-wide map stages measured
+    // ~30% cpu/doc inflation vs 4-wide (uniform across pure-compute
+    // stages: tokenize 1.32x, scan 1.37x, shuffle map 1.84x) from DRAM
+    // contention that a real 4-node cluster, with 4x the memory
+    // channels, does not have. The narrower pair measures the ENGINE's
+    // scaling (shuffle, barriers, stragglers, executor count) instead
+    // of the single box's DRAM controller; the hyperthread ceiling
+    // argument against 32-wide applies a fortiori.
+    val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH",
                                       (coresLow * 4).toString).toInt
     // SEQUENTIAL pairs (default). The round-6 concurrent-pair variant
@@ -981,10 +997,16 @@ object Bench {
     var corpusDir: String = null
     var lastRoundSec = 0.0
     // SIZING estimate — the latest MEASURED low-side throughput.
-    // Rounds target ~100 s of low-cores wall; accuracy matters here:
-    // a pessimistic estimate systematically undersizes quiet rounds to
-    // the floor, where fixed overhead dominates and efficiency reads
-    // ~0.5 on an idle host.
+    // Rounds target ~`sizeWallSec` of low-cores wall — long enough that
+    // the HIGH half (4x shorter) amortizes its ~10-16 s fixed per-build
+    // cost (job scheduling, sampling passes, offset/dict collects,
+    // barriers): with eff = (W/4)/(W/4 + o), a 100 s low wall caps a
+    // perfectly-quiet pair at ~0.75 and only ~260 s puts the ceiling at
+    // ~0.85. Accuracy matters: a pessimistic estimate systematically
+    // undersizes quiet rounds under the overhead ceiling, where no
+    // quiet window can ever evidence the bar.
+    val sizeWallSec =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_WALL_SEC", "260").toInt
     var tpSizeEst = 1.0
     // BUDGET estimate — pessimistic min across both halves, and the
     // cap uses the worst of the LAST TWO rounds' estimates: one lucky
@@ -1062,7 +1084,7 @@ object Bench {
             // ============== concurrent pair round ======================
             val roundDocs = math.min(benchDocs,
               math.min(byBudget2,
-                       math.max(benchDocs / 8, (tpSizeEst * 100).toInt)))
+                       math.max(benchDocs / 8, (tpSizeEst * sizeWallSec).toInt)))
             val r0 = System.nanoTime()
             val capSecP = buildCap()
             val capL = pfCap
@@ -1116,7 +1138,7 @@ object Bench {
           } else {
             val roundDocs = math.min(benchDocs,
               math.min(byBudget2,
-                       math.max(benchDocs / 8, (tpSizeEst * 100).toInt)))
+                       math.max(benchDocs / 8, (tpSizeEst * sizeWallSec).toInt)))
             var r0 = System.nanoTime()
             val capSecL = buildCap()
             var capL = pfCap

@@ -65,10 +65,27 @@ object BenchBuildHalf {
     // so neither cluster size is memory-starved and the pair measures
     // core scaling, not memory config).
     val mode = sys.env.getOrElse("GRAFT_HALF_MODE", "cluster")
-    val execMb = sys.env.getOrElse("GRAFT_HALF_EXEC_MB", "12288").toInt
+    // Executor heap default 3072 MB: the guest advertises 125 GiB but
+    // the host backs only ~10 GiB at RAM speed — beyond it, page
+    // acquisition crawls at ~0.3 GiB/s and idle pages get reclaimed,
+    // so a 4x12g half re-faults mid-build and reads 3-7x slow (the
+    // "storm" that poisoned rounds 4-6 was this, self-inflicted).
+    // Measured at 1.2M docs: 4x3g = 49.9k docs/s zero-spill; 4x6g =
+    // 22.4k with cpuSec 3x (cliff); 4x12g = 7-15k. The narrow half
+    // runs the same 3g executor (identical config, mild GC tax for
+    // holding the whole round in one executor — real cluster memory
+    // economics, spill-free at 1.2M).
+    val execMb = sys.env.getOrElse("GRAFT_HALF_EXEC_MB", "3072").toInt
+    // Executor width default 2: the pair compares 1 vs 4 IDENTICAL
+    // executors; at 2 cores each the two halves occupy 2 and 8 vCPUs,
+    // under this guest's memory-bandwidth wall — 16-wide map stages
+    // measured ~30% cpu/doc inflation vs 4-wide from DRAM contention
+    // a real 4-node cluster (4x the memory channels) does not have.
+    val execCores = sys.env.getOrElse("GRAFT_HALF_EXEC_CORES", "2").toInt
     val spark =
-      if (mode == "cluster" && cores % 4 == 0 && cores >= 4)
-        Bench.newClusterSession(cores / 4, 4, execMb)
+      if (mode == "cluster" && execCores >= 1 && cores >= execCores &&
+          cores % execCores == 0)
+        Bench.newClusterSession(cores / execCores, execCores, execMb)
       else Bench.newSessionFor(cores)
     // diagnostic mode: per-phase wall breakdown (forces intermediate
     // results, so the total differs from the real fused pipeline — for
