@@ -133,33 +133,78 @@ object Tokenize {
   }
 }
 
+/** Range partitioner over url keys with PRECOMPUTED boundaries.
+  * Partition i receives keys k with bounds(i-1) < k <= bounds(i)
+  * (partition 0: k <= bounds(0); last: k > bounds(last)) — the same
+  * upper-bound convention as Spark's RangePartitioner, but without its
+  * sampling job: boundaries come from a url-only scan (see
+  * [[DocIds.assign]]), so constructing this class costs nothing. */
+final class UrlRangePartitioner(val bounds: Array[String])
+    extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = bounds.length + 1
+  override def getPartition(key: Any): Int = {
+    val k = key.asInstanceOf[String]
+    // first index with bounds(i) >= k; duplicates in bounds (degenerate
+    // samples) resolve to the first match, leaving later dups empty
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) < k) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
 object DocIds {
-  /** Dense docIDs by ORDER BY url, scalable: range-partition by url,
-    * sort within partitions, per-partition counts -> prefix offsets ->
-    * per-partition id assignment. No single-partition window.
+  /** Dense docIDs by ORDER BY url, scalable — and the TEXT NEVER
+    * MOVES: only urls (tagged with their origin partition/position) go
+    * through a shuffle; the assigned ids are scattered back to the
+    * origin partitions and zipped against the pinned corpus scan. docId
+    * is exactly |{u : u < url}| — a pure function of the url set,
+    * independent of partitioning internals.
     *
     * OWNERSHIP: the returned dataset is persisted (at `storage`) and
     * already materialized; the CALLER must `unpersist()` it when done —
     * in a long-lived session, un-freed assignments accumulate alongside
     * the build-internal caches (see BuiltIndex.release).
     *
-    * Ids come from `zipWithIndex` over the sorted relation PINNED AT
-    * THE RDD LEVEL. The pinning is a correctness requirement, not an
-    * optimization: every Dataset action compiles a fresh physical plan
-    * whose range exchange re-samples boundaries, so per-partition
-    * offsets collected under one plan do not bind a later plan's
-    * partitions (measured: 99,704/100,000 distinct ids and run-to-run
-    * instability with an unpinned Dataset-level offset scheme). A
-    * single RDD object shares its shuffle across all downstream jobs
-    * (map stages are skipped on re-execution), and zipWithIndex fixes
-    * its partition offsets once, so ids are stable however often the
-    * lineage re-executes.
+    * Plan shape (why not repartitionByRange + zipWithIndex, the v1
+    * scheme): Catalyst's range exchange SAMPLES ITS FULL INPUT to pick
+    * boundaries — over a web corpus that is a whole extra scan +
+    * tokenize of every document, re-sampled per action unless the RDD
+    * is pinned — and zipWithIndex adds a fetch+sort pass just to count
+    * partitions. Worse, both schemes push every (url, text) row
+    * through shuffle write + remote fetch + sort: at 8-wide that
+    * data-movement stage measured 2.6x the CPU of the identical
+    * 2-wide work (DRAM-bound string traffic) while the pure-compute
+    * stages of the same build scaled flat. Here the full-weight rows
+    * stay where the scan put them:
+    *   1. url-only column scan (parquet prunes to the url column) ->
+    *      deterministic stride-decimated weighted sample -> range
+    *      boundaries, no sampling job over the text;
+    *   2. url-only pass -> EXACT count per url-range partition ->
+    *      prefix offsets (the id base of each range);
+    *   3. (url, origin pid, origin pos) through the TINY url shuffle,
+    *      sorted by (url, pid, pos) — total order, deterministic even
+    *      under duplicate urls — ids assigned from the exact offsets;
+    *   4. ids shuffled BACK by origin pid (tiny rows again) and
+    *      zipPartitions-aligned with the pinned (url, text) scan by
+    *      position; every zipped row asserts url equality, so any
+    *      planner divergence between the pruned url scan and the full
+    *      scan fails loudly instead of corrupting ids.
+    * The big relation is read from source once and written to the
+    * columnar cache once — never shuffled, never sorted, never
+    * fetched.
     *
     * `storage`: MEMORY_AND_DISK by default; pass DISK_ONLY when the
     * corpus exceeds executor memory (the bench/scaling path does) — the
     * cache then costs zero heap and reads back through the page cache.
-    * `len` is computed on the MAP side of the sort, so re-executions
-    * and cache misses never re-tokenize. */
+    * The persist is DATASET-level (columnar, column-prunable: norms
+    * reads docId+len without touching text). `len` is computed inside
+    * the cache-materialize pass; only a cache miss re-tokenizes, and
+    * re-executions never re-shuffle urls (the tiny shuffles' files
+    * persist and their map stages are skipped). */
   def assign(spark: SparkSession, corpus: Dataset[CorpusDoc],
              partitions: Int = 32,
              storage: org.apache.spark.storage.StorageLevel =
@@ -168,25 +213,149 @@ object DocIds {
     import spark.implicits._
     // column-level select BEFORE the typed stages so Catalyst prunes the
     // scan to (url, text): a typed .map would deserialize whole rows and
-    // drag the html payload (the bulk of a web corpus) through the sort.
-    // len (tokens per doc) is computed here, before the shuffle: one
-    // tokenize per doc total, carried as 4 bytes per row.
-    val sorted = corpus.toDF()
+    // drag the html payload (the bulk of a web corpus) through the plan
+    val urls = corpus.toDF().select($"url").as[String]
+    // pass 1 (url column only): deterministic stride-decimated sample,
+    // <= cap urls per input partition, each carrying its stride as a
+    // weight — the fixed-seed-free equivalent of a weighted reservoir
+    // (identical input order => identical sample, any run, any wideness)
+    // one pinned url-only RDD serves the sample, count, and tagging
+    // passes: identical partitioning across all three by construction
+    val urlRdd = urls.rdd
+    val cap = 4096
+    val samples = urlRdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuffer[String](cap)
+      var stride = 1L
+      var i = 0L
+      it.foreach { u =>
+        if (i % stride == 0) {
+          if (buf.length == cap) {
+            var w = 0
+            var r = 0
+            while (r < buf.length) {
+              if ((r & 1) == 0) { buf(w) = buf(r); w += 1 }
+              r += 1
+            }
+            buf.dropRightInPlace(buf.length - w)
+            stride *= 2
+          }
+          buf += u
+        }
+        i += 1
+      }
+      buf.iterator.map(u => (u, stride))
+    }.collect()
+    val bounds: Array[String] =
+      if (samples.isEmpty || partitions <= 1) Array.empty
+      else {
+        val sorted = samples.sortBy(_._1)
+        val total = sorted.iterator.map(_._2).sum.toDouble
+        val out = new scala.collection.mutable.ArrayBuffer[String](partitions - 1)
+        var cum = 0.0
+        var nextCut = total / partitions
+        var j = 0
+        while (j < sorted.length && out.length < partitions - 1) {
+          cum += sorted(j)._2
+          while (cum >= nextCut && out.length < partitions - 1) {
+            if (out.isEmpty || out.last < sorted(j)._1) out += sorted(j)._1
+            nextCut += total / partitions
+          }
+          j += 1
+        }
+        out.toArray
+      }
+    val part = new UrlRangePartitioner(bounds)
+    // pass 2 (url column only): EXACT count per output partition — the
+    // id offsets, with no fetch+sort job over the full rows
+    val counts = urlRdd.mapPartitions { it =>
+      val c = new Array[Long](part.numPartitions)
+      it.foreach(u => c(part.getPartition(u)) += 1)
+      Iterator.single(c)
+    }.fold(new Array[Long](part.numPartitions)) { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    // the full-weight scan, PINNED: one RDD instance = one set of file
+    // splits, shared by the url-tagging pass and the final zip, so the
+    // (pid, pos) tags always address the same rows
+    val base = corpus.toDF()
       .select($"url", $"text").as[(String, String)]
-      .map { case (url, text) => (url, text, Tokenize.countTokens(text)) }
-      .toDF("url", "text", "len").as[(String, String, Int)]
-      .repartitionByRange(partitions, $"url")
-      .sortWithinPartitions($"url")
-      .rdd // pin: one RDD instance = one sampled boundary set, reused
+      .rdd
+    val nParts = base.getNumPartitions
+    require(urlRdd.getNumPartitions == nParts,
+            s"docId scatter: url scan planned ${urlRdd.getNumPartitions} " +
+            s"partitions but the full scan planned $nParts")
+    // 3. tiny shuffle: (url, origin pid, origin pos) sorted by the full
+    // triple — deterministic total order even under duplicate urls —
+    // then ids assigned in-stream from the exact range offsets
+    val tagged = urlRdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = 0
+      it.map { u =>
+        val t = ((u, pid, pos), ())
+        pos += 1
+        t
+      }
+    }
+    val sortedIds = tagged
+      .repartitionAndSortWithinPartitions(new UrlTriplePartitioner(part))
+      .mapPartitionsWithIndex { (pid, it) =>
+        var id = bcOff.value(pid)
+        it.map { case ((u, opid, opos), _) =>
+          val r = (opid, (opos, id, u))
+          id += 1
+          r
+        }
+      }
+    // 4. scatter ids back to their origin partitions (tiny rows), align
+    // with the pinned scan by position, tokenize into the cache
+    val idsByOrigin = sortedIds.partitionBy(new ExactPartitioner(nParts))
     val out = spark.createDataset(
-      sorted.zipWithIndex().map { case ((url, text, len), id) =>
-        DocRow(id, url, text, len)
+      base.zipPartitions(idsByOrigin) { (docIt, idIt) =>
+        val ids = idIt.map(_._2).toArray.sortInPlaceBy(_._1)
+        var pos = 0
+        docIt.map { case (url, text) =>
+          require(pos < ids.length,
+                  s"docId scatter: more rows than ids at pos $pos")
+          val (opos, id, u) = ids(pos)
+          require(opos == pos && u == url,
+                  s"docId scatter misalignment at pos $pos: " +
+                  s"tagged ($opos, $u) vs scanned $url — the pruned url " +
+                  "scan and the full scan planned different partitions")
+          pos += 1
+          DocRow(id, url, text, Tokenize.countTokens(text))
+        } ++ {
+          require(pos == ids.length,
+                  s"docId scatter: ${ids.length - pos} unconsumed ids " +
+                  s"(url scan saw more rows than the full scan)")
+          Iterator.empty
+        }
       }).persist(storage)
     // materialize now: downstream consumers read one pinned cache
-    // instead of re-sorting the corpus per action
+    // instead of re-zipping per action
     out.count()
     out
   }
+}
+
+/** Routes a (url, pid, pos) sort key by its url through the wrapped
+  * url-range partitioner: same url placement as [[UrlRangePartitioner]]
+  * (so the exact per-range counts stay valid) while the key carries the
+  * origin tag for a fully deterministic total sort order. */
+final class UrlTriplePartitioner(inner: UrlRangePartitioner)
+    extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = inner.numPartitions
+  override def getPartition(key: Any): Int =
+    inner.getPartition(key.asInstanceOf[(String, Int, Int)]._1)
+}
+
+/** Identity partitioner over Int keys in [0, n) — the scatter-back
+  * address space of origin partition ids. */
+final class ExactPartitioner(n: Int) extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int = key.asInstanceOf[Int]
 }
 
 object Dictionary {
