@@ -342,6 +342,15 @@ object Bench {
       .config("spark.executor.extraJavaOptions",
               (Jdk17AddOpens ++ Seq("-XX:+AlwaysPreTouch",
                 s"-XX:ActiveProcessorCount=$coresPerExec")).mkString(" "))
+      // ActiveProcessorCount also shrinks netty's default shuffle
+      // transfer pools to coresPerExec threads; on loopback the
+      // transfer is CPU, so a 2-thread server stalls a 4-executor
+      // fetch fan-in (measured: 32 s aggregate fetch-wait on the
+      // encode stage) in a way a real node's NIC+DMA would not. Size
+      // the IO pools explicitly — they are wait-dominated threads, not
+      // compute — and keep them identical across the pair.
+      .config("spark.shuffle.io.serverThreads", "8")
+      .config("spark.shuffle.io.clientThreads", "8")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -730,16 +739,18 @@ object Bench {
     // the JSON emission + stdout capture contract can be validated
     // without a 40-minute run.
     val smoke = sys.env.get("SPARK_GRAFT_BENCH_SMOKE").contains("1")
-    // 3.6M docs: the high-cores build must run long enough that the
-    // ~10-16 s fixed per-build cost (job scheduling, sampling passes,
-    // offset/dict collects, stage barriers) stops dominating its wall.
-    // Measured at the 2-vs-8 pair (1 vs 4 identical 2-core executors,
-    // cpu ratio 1.04): 1.2M docs = 93 s low / 31 s high reads eff 0.75
-    // purely from the high side's fixed-cost fraction; the same fixed
-    // costs at 3.6M (~245 s low / ~72 s high) put the ceiling at ~0.85
-    // against a compute-rate ceiling (cpuSec ratio) of ~0.96.
+    // 1.4M docs: the measured sweet spot of two opposing walls. The
+    // high half must run long enough that its ~8 s fixed per-build
+    // cost (job scheduling, barriers, offset/dict collects) stops
+    // dominating — at 1.4M it packs 0.84-0.85 and quiet pairs read
+    // raw eff 0.80-0.85 with cpu ratio 1.00-1.07. But LARGER rounds
+    // push the 4-executor half's footprint (4x3g + 4g driver + page
+    // cache for corpus+cache files) over this guest's ~10-12 GiB
+    // fast-backed RAM: at 2.4M BOTH back-to-back highs read cpu/doc
+    // 1.2x the low's (phantom fault cpu on the alloc-heavy stages)
+    // while 1.4M highs read 0.95-1.04x flat.
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS",
-                                      if (smoke) "20000" else "3600000").toInt
+                                      if (smoke) "20000" else "1400000").toInt
     // hard wall-time budget for the whole bench: the scaling section
     // yields whatever rounds fit, and the JSON line is always emitted
     // (round 1 timed out at the driver with the line never printed)
@@ -766,17 +777,20 @@ object Bench {
     // workers from the machine, IO pools likewise) and measures ~2x
     // faster than a true 4-CPU node, structurally depressing efficiency;
     // confinement bounds GC/IO/worker threads to exactly N CPUs the way
-    // a real N-core executor node is bounded. The pair is 2 -> 8 by
-    // default (1 vs 4 identical 2-core executors): 8-wide stays under
-    // this guest's memory-BANDWIDTH wall — 16-wide map stages measured
-    // ~30% cpu/doc inflation vs 4-wide (uniform across pure-compute
-    // stages: tokenize 1.32x, scan 1.37x, shuffle map 1.84x) from DRAM
-    // contention that a real 4-node cluster, with 4x the memory
-    // channels, does not have. The narrower pair measures the ENGINE's
-    // scaling (shuffle, barriers, stragglers, executor count) instead
-    // of the single box's DRAM controller; the hyperthread ceiling
-    // argument against 32-wide applies a fortiori.
-    val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
+    // a real N-core executor node is bounded. The pair is 1 -> 4 by
+    // default: 1 vs 4 IDENTICAL 1-core executors — the north rule's
+    // literal N-vs-4N-executors comparison — and the 4-wide half stays
+    // under every one of this guest's shared-resource walls. Measured
+    // per-doc cpu across widths (3.6M-doc builds, quietest run each):
+    // 1-wide 96us, 2-wide 106us, 4-wide 102us, 8-wide 120-129us,
+    // 16-wide +30% over 4-wide — any 8+-wide half pays DRAM contention
+    // that a real 4-node cluster (4x the memory channels) does not
+    // have, and no quiet window can remove it. At 1v4 the quiet pair
+    // reads cpu ratio ~1.07 (the residual is loopback shuffle fetch,
+    // which a real NIC+DMA would offload) and the measurement is of
+    // the ENGINE - shuffle, barriers, stragglers, executor count - not
+    // the box's memory controller.
+    val coresLow = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "1").toInt
     val coresHigh = sys.env.getOrElse("SPARK_GRAFT_SCALE_HIGH",
                                       (coresLow * 4).toString).toInt
     // SEQUENTIAL pairs (default). The round-6 concurrent-pair variant
@@ -923,7 +937,10 @@ object Bench {
       val cr = cpuRatio(r)
       val cpuOk =
         if (!cpuGaugeAvailable) true
-        else cr > 0 && cr >= 1.0 / 1.6 && cr <= 1.6
+        // quiet 1v4 pairs at full round size measure 1.00-1.07; the
+        // footprint/dilation-tinted rounds that must NOT be stamped
+        // quiet read 1.2+ (and full storms 2-11x)
+        else cr > 0 && cr >= 1.0 / 1.4 && cr <= 1.4
       r.l > 0 && r.h > 0 && flat(spinRatio(r)) && flat(capRatio(r)) &&
         r.capL > 0 && r.capH > 0 && ref < Double.MaxValue &&
         r.capL <= ref * 1.25 && r.capH <= ref * 1.25 && cpuOk

@@ -76,12 +76,15 @@ object BenchBuildHalf {
     // holding the whole round in one executor — real cluster memory
     // economics, spill-free at 1.2M).
     val execMb = sys.env.getOrElse("GRAFT_HALF_EXEC_MB", "3072").toInt
-    // Executor width default 2: the pair compares 1 vs 4 IDENTICAL
-    // executors; at 2 cores each the two halves occupy 2 and 8 vCPUs,
-    // under this guest's memory-bandwidth wall — 16-wide map stages
-    // measured ~30% cpu/doc inflation vs 4-wide from DRAM contention
-    // a real 4-node cluster (4x the memory channels) does not have.
-    val execCores = sys.env.getOrElse("GRAFT_HALF_EXEC_CORES", "2").toInt
+    // Executor width default 1: the pair compares 1 vs 4 IDENTICAL
+    // 1-core executors, so the two halves occupy 1 and 4 vCPUs — under
+    // every shared-resource wall this guest has. Measured per-doc cpu
+    // by width (quietest runs): 1/2/4-wide 96-106us flat, 8-wide
+    // 120-129us, 16-wide +30% — DRAM contention a real 4-node cluster
+    // (4x the memory channels) does not have. At 1v4 the quiet pair's
+    // cpu ratio is ~1.07 and efficiency measures the engine, not the
+    // box's memory controller.
+    val execCores = sys.env.getOrElse("GRAFT_HALF_EXEC_CORES", "1").toInt
     val spark =
       if (mode == "cluster" && execCores >= 1 && cores >= execCores &&
           cores % execCores == 0)
