@@ -205,6 +205,28 @@ object DocIds {
     * the cache-materialize pass; only a cache miss re-tokenizes, and
     * re-executions never re-shuffle urls (the tiny shuffles' files
     * persist and their map stages are skipped). */
+  /** True when every re-execution of `p` — including a column-PRUNED
+    * one — yields identical rows in identical partition positions: leaf
+    * scans and deterministic narrow ops only. Anything with an exchange
+    * is not: a round-robin repartition's stabilizing pre-sort keys on
+    * the full row BYTES (a pruned plan sorts different bytes → different
+    * partition contents), and a hash exchange's reduce-side row order
+    * follows nondeterministic fetch arrival. */
+  private def pruneStable(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val nodeOk = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias => true
+      case _: SerializeFromObject | _: DeserializeToObject => true
+      case _: MapElements | _: TypedFilter | _: MapPartitions => true
+      case s: Sort => !s.global
+      case _ => false
+    }
+    nodeOk && p.expressions.forall(_.deterministic) &&
+      p.children.forall(pruneStable)
+  }
+
   def assign(spark: SparkSession, corpus: Dataset[CorpusDoc],
              partitions: Int = 32,
              storage: org.apache.spark.storage.StorageLevel =
@@ -214,7 +236,23 @@ object DocIds {
     // column-level select BEFORE the typed stages so Catalyst prunes the
     // scan to (url, text): a typed .map would deserialize whole rows and
     // drag the html payload (the bulk of a web corpus) through the plan
-    val urls = corpus.toDF().select($"url").as[String]
+    val projected = corpus.toDF().select($"url", $"text")
+    // The scatter scheme reads the corpus through TWO plans (a pruned
+    // url-only scan and the full scan) and requires them to agree row
+    // for row. Scan-shaped upstreams do (and keep parquet's url-column
+    // pruning — the fast path the build relies on); an upstream with a
+    // shuffle or a nondeterministic expression does not, so pin the
+    // projection once and serve both plans from the pinned cache. The
+    // in-memory cache is columnar, so the url passes still prune.
+    val pinned =
+      if (pruneStable(corpus.queryExecution.analyzed)) None
+      else {
+        val p = projected.persist(storage)
+        p.count()
+        Some(p)
+      }
+    val src = pinned.getOrElse(projected)
+    val urls = src.select($"url").as[String]
     // pass 1 (url column only): deterministic stride-decimated sample,
     // <= cap urls per input partition, each carrying its stride as a
     // weight — the fixed-seed-free equivalent of a weighted reservoir
@@ -281,9 +319,7 @@ object DocIds {
     // the full-weight scan, PINNED: one RDD instance = one set of file
     // splits, shared by the url-tagging pass and the final zip, so the
     // (pid, pos) tags always address the same rows
-    val base = corpus.toDF()
-      .select($"url", $"text").as[(String, String)]
-      .rdd
+    val base = src.as[(String, String)].rdd
     val nParts = base.getNumPartitions
     require(urlRdd.getNumPartitions == nParts,
             s"docId scatter: url scan planned ${urlRdd.getNumPartitions} " +
@@ -336,6 +372,7 @@ object DocIds {
     // materialize now: downstream consumers read one pinned cache
     // instead of re-zipping per action
     out.count()
+    pinned.foreach(_.unpersist(blocking = false))
     out
   }
 }

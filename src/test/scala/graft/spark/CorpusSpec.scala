@@ -36,6 +36,52 @@ class CorpusSpec extends AnyFunSuite {
     assert(sorted == (0L until 1500L))
   }
 
+  test("docID assignment: duplicate urls stay dense and deterministic") {
+    import spark.implicits._
+    // 3 copies of 400 urls: ids must be dense 0..1199 and each url must
+    // own exactly the contiguous id run at its rank — which pins the
+    // url -> id-set mapping regardless of partitioning (the (url, pid,
+    // pos) total sort order additionally pins WHICH copy gets which id)
+    def dupCorpus(parts: Int) = {
+      val base = Corpus.synthetic(spark, 400, partitions = parts).collect()
+      spark.createDataset(
+        (0 until 3).flatMap(_ => base)).repartition(parts)
+    }
+    val a = DocIds.assign(spark, dupCorpus(3), partitions = 4).collect()
+    val ids = a.map(_.docId).sorted.toSeq
+    assert(ids == (0L until 1200L))
+    val byUrl = a.groupBy(_.url).view.mapValues(_.map(_.docId).sorted.toSeq)
+    val urlsSorted = byUrl.keys.toSeq.sorted
+    urlsSorted.zipWithIndex.foreach { case (u, rank) =>
+      assert(byUrl(u) == (rank * 3L until rank * 3L + 3),
+             s"url $u (rank $rank) ids ${byUrl(u)}")
+    }
+  }
+
+  test("docID assignment: degenerate partitioning (1 doc, many partitions)") {
+    val one = Corpus.synthetic(spark, 1, partitions = 1)
+    val a = DocIds.assign(spark, one, partitions = 8).collect()
+    assert(a.length == 1 && a.head.docId == 0L)
+    // more partitions than distinct sampled urls
+    val few = Corpus.synthetic(spark, 5, partitions = 2)
+    val b = DocIds.assign(spark, few, partitions = 32).collect()
+    assert(b.map(_.docId).sorted.toSeq == (0L until 5L))
+  }
+
+  test("UrlRangePartitioner routes keys by upper-bound convention") {
+    val p = new UrlRangePartitioner(Array("b", "d", "d", "f"))
+    assert(p.numPartitions == 5)
+    assert(p.getPartition("a") == 0)
+    assert(p.getPartition("b") == 0) // equal to bound -> its partition
+    assert(p.getPartition("c") == 1)
+    assert(p.getPartition("d") == 1) // duplicate bounds: first match
+    assert(p.getPartition("e") == 3)
+    assert(p.getPartition("f") == 3)
+    assert(p.getPartition("g") == 4) // above all bounds -> last
+    val empty = new UrlRangePartitioner(Array.empty)
+    assert(empty.numPartitions == 1 && empty.getPartition("anything") == 0)
+  }
+
   test("dictionary termIDs are dense in lexicographic order") {
     val corpus = Corpus.fromDocumentsTable(spark, "/root/testdata/sf0.001")
     val docs = DocIds.assign(spark, corpus, 4)
