@@ -937,10 +937,12 @@ object Bench {
       val cr = cpuRatio(r)
       val cpuOk =
         if (!cpuGaugeAvailable) true
-        // quiet 1v4 pairs at full round size measure 1.00-1.07; the
-        // footprint/dilation-tinted rounds that must NOT be stamped
-        // quiet read 1.2+ (and full storms 2-11x)
-        else cr > 0 && cr >= 1.0 / 1.4 && cr <= 1.4
+        // quiet 1v4 pairs at full round size measure 1.00-1.09; the
+        // dilation-tinted mode that must NOT be stamped quiet reads
+        // 1.23-1.30 at eff 0.65-0.68 (r6-run2 rounds 2-3, stamped
+        // quiet under the old 1.4 bound and eligible to end the quiet
+        // hunt early), and full storms 2-11x
+        else cr > 0 && cr >= 1.0 / 1.2 && cr <= 1.2
       r.l > 0 && r.h > 0 && flat(spinRatio(r)) && flat(capRatio(r)) &&
         r.capL > 0 && r.capH > 0 && ref < Double.MaxValue &&
         r.capL <= ref * 1.25 && r.capH <= ref * 1.25 && cpuOk
@@ -1046,14 +1048,20 @@ object Bench {
         math.max(60.0, math.min(480.0, deadline - elapsedSec + 30.0))
       if (warm <= 0) {
         // warmup half: with process-isolated halves each child JIT-warms
-        // itself, so this run's only job is seeding the SIZING estimate
-        // with a measured high-side throughput — small, capped, and
-        // pre-flight-gated like every launch (a storm-poisoned seed
-        // undersizes every later round)
+        // itself, so this run's only job is seeding the SIZING estimate —
+        // small, capped, and pre-flight-gated like every launch (a
+        // storm-poisoned seed undersizes every later round). Measure the
+        // LOW side: sizing needs the low-cores rate, and deriving it from
+        // a high-side warmup divides by the width after the warmup-sized
+        // build ate its fixed cost at the WIDE half's packing (r6-run2:
+        // seeded 2.8k docs/s vs the true 8.5k, so round 1 ran at 723k
+        // docs — a full round burned under the ~0.78 packing ceiling).
+        // A low-side warmup is packing-depressed too, but only by its
+        // own fixed cost: it seeds ~6k and round 1 sizes to full.
         val warmDocs = math.min(benchDocs / 8, 200000)
         preFlight(deadline - 300.0)
         val warmCap = buildCap()
-        warm = runHalf(coresHigh, warmDocs, corpusDir, benchDocs, warmCap)._1
+        warm = runHalf(coresLow, warmDocs, corpusDir, benchDocs, warmCap)._1
         if (warm <= 0) {
           // warmup aborted by its watchdog: seed the estimates from the
           // abort itself (the true rate is below warmDocs/warmCap)
@@ -1062,10 +1070,10 @@ object Bench {
           // while budget remains and the window may be about to close
           warm = math.max(1.0, warmDocs / warmCap / 4)
           stamp(f"scaling warmup ABORTED at ${warmCap}%.0fs; assuming " +
-                f"${warm}%.0f docs/s at $coresHigh cores")
+                f"${warm}%.0f docs/s at $coresLow cores")
         } else
-          stamp(f"scaling warmup: ${warm}%.0f docs/s at $coresHigh cores")
-        tpSizeEst = math.max(1.0, warm * coresLow / coresHigh)
+          stamp(f"scaling warmup: ${warm}%.0f docs/s at $coresLow cores")
+        tpSizeEst = math.max(1.0, warm)
         tpLowEst = tpSizeEst
         tpLowPrev = tpSizeEst
       }
