@@ -30,6 +30,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // lz4 the DISK_ONLY corpus cache: the build reads it back ~4x
+      // (agg, dict tokenize, postings tokenize, norms) and this guest is
+      // memory-bandwidth-starved — 2.8 GB of raw cached text per pass
+      // vs ~1 GB compressed is the difference between the 4-wide half
+      // riding the bandwidth wall and staying under it
+      .config("spark.rdd.compress", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -351,6 +357,20 @@ object Bench {
       // compute — and keep them identical across the pair.
       .config("spark.shuffle.io.serverThreads", "8")
       .config("spark.shuffle.io.clientThreads", "8")
+      // see newSession: lz4 the corpus cache blocks (~3x less IO/DRAM
+      // traffic on the passes that re-read them)
+      .config("spark.rdd.compress", "true")
+      // executors here share one physical box: a cache block on a
+      // sibling executor is a loopback read, not a network hop, so the
+      // default 3 s per-level locality wait only parks cores behind a
+      // straggling executor's queue (the cluster half's stage tails
+      // idled ~15% of its core-seconds with cache-local stages)
+      .config("spark.locality.wait", "0")
+      // 4 one-core executors share one disk for shuffle files; the
+      // default 32k write buffer measured 4.5 s aggregate blocking
+      // write time on the encode stage (vs 0.8 s for the 1-executor
+      // half) — fewer, larger writes cut the contention
+      .config("spark.shuffle.file.buffer", "256k")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

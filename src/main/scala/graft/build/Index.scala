@@ -161,24 +161,57 @@ object IndexBuilder {
     val numTerms = dict.count() // already materialized; cached-cheap
 
     // tracks the broadcast/cache this build owns, released in release()
-    var bcMap: org.apache.spark.broadcast.Broadcast[
-      java.util.HashMap[String, Integer]] = null
+    var bcMap: org.apache.spark.broadcast.Broadcast[TermLookup] = null
     var byTerm: Dataset[(String, Long, Int, Int)] = null
 
     val postings =
       if (numTerms <= MaxBroadcastTerms) {
         // broadcast path: tokens -> int termIds in the map stage; the
-        // big relation shuffles once, keyed and carried as ints only
-        val entries = dict.select($"term", $"termId")
-          .as[(String, Int)].collect()
-        val m = new java.util.HashMap[String, Integer](entries.length * 2)
-        entries.foreach { case (t, id) => m.put(t, Integer.valueOf(id)) }
-        bcMap = spark.sparkContext.broadcast(m)
+        // big relation shuffles once, keyed and carried as ints only.
+        // The dict crosses to the driver and back as COMPACT per-
+        // partition chunks (blob + lengths, ids implicit in order):
+        // collecting 1-2M (String, Int) rows and Java-serializing a
+        // HashMap measured ~2.5 s of driver-serial time inside the
+        // timed build plus ~0.7 s deserialize PER EXECUTOR — Amdahl
+        // cost the 4N half of a scaling pair pays 4x (see TermLookup).
+        // Dictionary.build's partitions are termId-contiguous in id
+        // order by construction; fromChunks requires it.
+        val chunks = dict.select($"termId", $"term").as[(Int, String)]
+          .mapPartitions { it =>
+            if (it.isEmpty) Iterator.empty
+            else {
+              val first = it.next()
+              val lens = new scala.collection.mutable.ArrayBuilder.ofInt
+              val bytes = new java.io.ByteArrayOutputStream(1 << 16)
+              var n = 1
+              var b = first._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              lens += b.length
+              bytes.write(b)
+              var expect = first._1 + 1
+              it.foreach { case (id, term) =>
+                require(id == expect,
+                        s"dict partition not id-contiguous at $id (expected $expect)")
+                expect += 1
+                n += 1
+                b = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                lens += b.length
+                bytes.write(b)
+              }
+              Iterator.single((first._1, n, bytes.toByteArray, lens.result()))
+            }
+          }.collect()
+        val lookup = TermLookup.fromChunks(chunks)
+        require(lookup.numTerms == numTerms,
+                s"term lookup has ${lookup.numTerms} terms, dict $numTerms")
+        bcMap = spark.sparkContext.broadcast(lookup)
         val bc = bcMap
         docsP.flatMap { d =>
           val ids = bc.value
           Tokenize.termFreqs(d.text).map { case (t, tf) =>
-            (ids.get(t).intValue, d.docId, tf, d.len)
+            val id = ids.id(t)
+            if (id < 0)
+              throw new IllegalStateException(s"token '$t' missing from dict")
+            (id, d.docId, tf, d.len)
           }
         }.toDF("termId", "docId", "tf", "len")
       } else {

@@ -164,10 +164,13 @@ object DocIds {
     * is exactly |{u : u < url}| — a pure function of the url set,
     * independent of partitioning internals.
     *
-    * OWNERSHIP: the returned dataset is persisted (at `storage`) and
-    * already materialized; the CALLER must `unpersist()` it when done —
-    * in a long-lived session, un-freed assignments accumulate alongside
-    * the build-internal caches (see BuiltIndex.release).
+    * OWNERSHIP: the returned dataset is persisted (at `storage`); the
+    * CALLER must `unpersist()` it when done — in a long-lived session,
+    * un-freed assignments accumulate alongside the build-internal
+    * caches (see BuiltIndex.release). Scan-shaped inputs return LAZY
+    * (the caller's first action writes the cache as a side effect of
+    * real work); inputs that needed a pinned projection are
+    * materialized eagerly before the pin is released.
     *
     * Plan shape (why not repartitionByRange + zipWithIndex, the v1
     * scheme): Catalyst's range exchange SAMPLES ITS FULL INPUT to pick
@@ -369,10 +372,19 @@ object DocIds {
           Iterator.empty
         }
       }).persist(storage)
-    // materialize now: downstream consumers read one pinned cache
-    // instead of re-zipping per action
-    out.count()
-    pinned.foreach(_.unpersist(blocking = false))
+    // Scan-shaped upstream (no pinned projection): defer materialization
+    // to the caller's first action — it writes the cache as a side
+    // effect of real work (IndexBuilder's corpus agg), one pass and one
+    // job cheaper than an eager count, and every later consumer still
+    // reads the pinned cache. With a pinned projection the eager count
+    // is LOAD-BEARING: the projection must stay persisted until the zip
+    // has materialized (unpersisting first would re-execute the zip
+    // against an unpinned plan, tripping the alignment require), so
+    // materialize now and only then release it.
+    pinned.foreach { p =>
+      out.count()
+      p.unpersist(blocking = false)
+    }
     out
   }
 }
