@@ -1093,9 +1093,19 @@ object Bench {
                 f"${warm}%.0f docs/s at $coresLow cores")
         } else
           stamp(f"scaling warmup: ${warm}%.0f docs/s at $coresLow cores")
-        tpSizeEst = math.max(1.0, warm)
-        tpLowEst = tpSizeEst
-        tpLowPrev = tpSizeEst
+        // SIZING seed corrects for the warmup's packing: a 175k-doc
+        // build spends ~12 s of fixed per-build cost against ~18 s of
+        // proportional work, so its measured rate is ~0.6x the full-
+        // round rate and an uncorrected seed sizes round 1 to
+        // 1.0-1.2M of the 1.4M target — one ~330 s round per run burned
+        // under the packing ceiling (runs 4-6: round-1 eff 0.645-0.764,
+        // full-size rounds 0.79-0.87). The BUDGET estimates keep the
+        // uncorrected (pessimistic) rate: optimism there erodes the
+        // byBudget safety margins, and the watchdog caps are the only
+        // other bound on a storm-seeded round.
+        tpSizeEst = math.max(1.0, warm * 1.4)
+        tpLowEst = math.max(1.0, warm)
+        tpLowPrev = tpLowEst
       }
       var continue = true
       while (continue && wantMore && (round < 2 || bestEvidence < 0.82) &&
