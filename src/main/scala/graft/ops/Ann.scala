@@ -10,11 +10,34 @@ import org.apache.spark.sql.functions._
   * generation is a bucket join instead of a crossJoin. */
 object Ann {
 
-  /** Double-precision dot product of two float-array columns via
-    * zip_with + aggregate (whole-stage-codegen friendly). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two float-array columns.
+    *
+    * Compiled kernel, not zip_with + aggregate: Catalyst higher-order
+    * functions are NOT whole-stage-codegen'd — they evaluate as
+    * interpreted lambda expressions with per-element boxing, and in the
+    * all-pairs ops the dot lands inside a BroadcastNestedLoopJoin
+    * condition, so every candidate pair paid the interpreted path
+    * (measured 10.3 s for dedup_embedding_cosine at sf0.1, ~2M pairs;
+    * plans/r07/dedup_embedding_cosine_before.txt shows the lambda tree
+    * in the join condition). The replacement sums a(i)*b(i) as doubles
+    * in ASCENDING INDEX ORDER — exactly the left-fold order of the old
+    * aggregate(zip_with(...), 0.0, +) — so every score is bit-identical
+    * and the DuckDB oracles are unaffected. Null arrays yield null like
+    * the old expression tree (zip_with propagates null); the fixture
+    * and driver embeddings are fixed-width so the unequal-length corner
+    * (old: null-padded, new: min-length) is unreachable. */
+  private val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    if (a == null || b == null) None
+    else {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      Some(s)
+    }
+  }
+
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
