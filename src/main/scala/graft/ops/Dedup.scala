@@ -46,6 +46,17 @@ object Dedup {
     (repDocs, membership)
   }
 
+  /** Spread a small-by-bytes / heavy-by-CPU relation over the cluster
+    * before a compute-dense per-row map. The near-dup ops' shingling /
+    * signature maps read the collapseExact join output, which AQE
+    * coalesces to a handful of partitions by SIZE (a few MB of text) —
+    * leaving the tokenize+hash work, the real cost at gate scale, on
+    * 1-2 tasks. A deterministic hash repartition on doc_id restores
+    * parallelism for a few MB of shuffle; width follows the session's
+    * defaultParallelism, not a constant. */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Token k-shingles of a document, distinct. Documents with fewer than
     * k tokens have NO shingles (matches the oracle's n-gram definition,
     * generate_series(1, len-k+1) yielding nothing) — returning a partial
@@ -91,10 +102,19 @@ object Dedup {
     val (repDocs, membership0) = collapseExact(docs)
     val membership = membership0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = repDocs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => shingles(text, k).map(s => (id, s)) }
-      .toDF("doc_id", "shingle")
+    // One cached row per distinct text holding its (already-distinct)
+    // shingle ARRAY — not the exploded (doc_id, shingle) relation. The
+    // posting view below re-derives rows with a codegen'd explode per
+    // consumer; the cache is corpus-of-arrays sized (rows = distinct
+    // texts), and the per-doc set needed by the verify phase is the
+    // cached array itself, which deletes the collect_set re-aggregation
+    // of every posting row the old shape paid (its widest shuffle).
+    val shArr = spread(spark, repDocs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, shingles(text, k)) }
+      .toDF("doc_id", "ss")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shArr.select(col("doc_id"), explode(col("ss")).as("shingle"))
     // df FIRST (a streaming partial-aggregated count), hot shingles
     // dropped before any posting list is collected: the join and the
     // groupBy below hash-partition on the same key, and every collected
@@ -119,9 +139,16 @@ object Dedup {
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCoOccur)
       .select("doc_a", "doc_b")
-    val sets = sh.groupBy("doc_id")
-      .agg(collect_set(col("shingle")).as("ss"),
-           count(lit(1)).cast("long").as("sz"))
+    // per-doc shingle sets, straight from the cache: shingles() output
+    // is distinct by construction, and the only consumers take
+    // size(array_intersect(...)) — order-insensitive — so this equals
+    // the old collect_set aggregate row for row. Docs with zero
+    // shingles carry an empty array here where the old groupBy had no
+    // row; every consumer either inner-joins on candidate docs (which
+    // have >= minCoOccur shingles) or filters sz >= 1, so those rows
+    // are unreachable either way.
+    val sets = shArr.select(col("doc_id"), col("ss"),
+                            size(col("ss")).cast("long").as("sz"))
     val repPairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ss").as("ss_a"),
                         col("sz").as("sz_a")), "doc_a")
@@ -161,7 +188,7 @@ object Dedup {
     // instead of leaking into the caller's session
     val result = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    sh.unpersist()
+    shArr.unpersist()
     membership.unpersist()
     result
   }
@@ -170,11 +197,18 @@ object Dedup {
 
   final val MinHashPrime = (1L << 61) - 1
 
+  /** Thread-local MD5 instance: fp64 runs once per shingle/term in the
+    * signature maps' innermost loops, and MessageDigest.getInstance is
+    * a provider lookup + allocation per call; digest() leaves the
+    * instance reset, so reuse is exact. */
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** First 8 bytes of MD5 as a non-negative Long — the shingle
     * fingerprint (stable across JVMs). */
   def fp64(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
     var v = 0L
     var i = 0
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -243,7 +277,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // docs with no shingles have no MinHash signature (an all-MaxValue
     // sentinel signature would bucket every short doc together)
-    val sigs = repDocs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val sigs = spread(spark, repDocs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         val fps = shingles(text, k).map(fp64)
         if (fps.isEmpty) None
@@ -372,7 +407,8 @@ object Dedup {
     val (repDocs, membership0) = collapseExact(docs)
     val membership = membership0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hashed = repDocs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val hashed = spread(spark, repDocs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
       .map { case (id, t) => (id, simhash(t)) }
       .toDF("doc_id", "simhash")
     val seg = hashed.as[(Long, Long)].flatMap { case (id, h) =>
