@@ -39,6 +39,20 @@ object Ann {
 
   def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
+  /** Spread a small embeddings scan across the session's parallelism
+    * before a compute-dense operator. A gate-sized embeddings table is
+    * one parquet file = ONE scan partition, which serialized the whole
+    * all-pairs loop (the BroadcastNestedLoopJoin stream side measured
+    * 2.4 s on a single task at sf0.1) and the LSH/IVF signature maps.
+    * Real multi-split corpora already plan enough partitions and skip
+    * the exchange. */
+  private def spreadVecs(spark: SparkSession, df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.min(par, 16))
+      df.repartition(par, col("vec_id"))
+    else df
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact cosine top-k neighbors for the query vectors (vec_id in
@@ -52,9 +66,10 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
               norm(col("embedding")).as("qn")))
     val joined = q.crossJoin(
-        embeddings.select(col("vec_id").as("neighbor_id"),
-                          col("embedding").as("nv"),
-                          norm(col("embedding")).as("nn")))
+        spreadVecs(spark, embeddings)
+          .select(col("vec_id").as("neighbor_id"),
+                  col("embedding").as("nv"),
+                  norm(col("embedding")).as("nn")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
       .withColumn("cos_q", floor(col("cos") * 1000).cast("long"))
@@ -76,9 +91,12 @@ object Ann {
     * mirrors; production corpora use lshCosinePairs. */
   def cosinePairs(spark: SparkSession, embeddings: DataFrame,
                   minCosQ: Long): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_a"),
-                              col("embedding").as("va"),
-                              norm(col("embedding")).as("na"))
+    // the left side streams through the nested-loop join (the right is
+    // broadcast); spread it so the O(N^2) condition evaluation runs wide
+    val a = spreadVecs(spark, embeddings)
+      .select(col("vec_id").as("vec_a"),
+              col("embedding").as("va"),
+              norm(col("embedding")).as("na"))
     val b = embeddings.select(col("vec_id").as("vec_b"),
                               col("embedding").as("vb"),
                               norm(col("embedding")).as("nb"))
@@ -111,7 +129,8 @@ object Ann {
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val tables = spark.sparkContext.broadcast(
       Array.tabulate(numTables)(t => hyperplanes(planeCount, dim, seed + t)))
-    val sigs = embeddings.select(col("vec_id"), col("embedding"))
+    val sigs = spreadVecs(spark, embeddings)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         tables.value.indices.map(t => (t, signature(v, tables.value(t)), id))
@@ -381,7 +400,8 @@ object Ann {
     val lists = if (nlist > 0) nlist else defaultNlist(embeddings.count())
     val trained = trainIvfCentroids(spark, embeddings, lists)
     val cents = spark.sparkContext.broadcast((trained, centroidNorms(trained)))
-    val assigned = embeddings.select(col("vec_id"), col("embedding"))
+    val assigned = spreadVecs(spark, embeddings)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         (nearestCentroid(v, cents.value._1, cents.value._2), id)
@@ -454,7 +474,8 @@ object Ann {
     val dim = embeddings.select(size(col("embedding"))).first().getInt(0)
     val tables = spark.sparkContext.broadcast(
       Array.tabulate(numTables)(t => hyperplanes(planeCount, dim, seed + t)))
-    val sigs = embeddings.select(col("vec_id"), col("embedding"))
+    val sigs = spreadVecs(spark, embeddings)
+      .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         tables.value.indices.map(t => (t, signature(v, tables.value(t)), id))
