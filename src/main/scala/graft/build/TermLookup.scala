@@ -37,6 +37,11 @@ final class TermLookup(val blob: Array[Byte], val offsets: Array[Int])
     * first lookup (lazy val is JVM-synchronized), never serialized. */
   @transient private lazy val table: Array[Int] = {
     val n = numTerms
+    // the doubling loop below overflows (and spins) past 2^30 slots;
+    // unreachable under the default broadcast-term cap, but raising
+    // SPARK_GRAFT_BCAST_TERMS_MAX must hit a clear error, not a hang
+    require(n <= (1 << 29),
+            s"TermLookup probe table supports <= ${1 << 29} terms, got $n")
     var cap = 4
     while (cap < n * 2) cap <<= 1
     val t = new Array[Int](cap)
@@ -134,8 +139,14 @@ object TermLookup {
     var idx = 0
     sorted.foreach { case (_, n, b, lens) =>
       System.arraycopy(b, 0, blob, off, b.length)
+      val chunkStart = off
       var i = 0
       while (i < n) { offsets(idx) = off; off += lens(i); i += 1; idx += 1 }
+      // a chunk whose lens disagree with its blob would silently
+      // misalign every subsequent term's offsets; fail loudly instead
+      require(off - chunkStart == b.length,
+              s"dictionary chunk lens sum to ${off - chunkStart} bytes " +
+              s"but its blob holds ${b.length}")
     }
     offsets(total) = off
     new TermLookup(blob, offsets)

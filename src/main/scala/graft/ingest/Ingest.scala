@@ -362,7 +362,10 @@ object DocIds {
           require(opos == pos && u == url,
                   s"docId scatter misalignment at pos $pos: " +
                   s"tagged ($opos, $u) vs scanned $url — the pruned url " +
-                  "scan and the full scan planned different partitions")
+                  "scan and the full scan planned different partitions. " +
+                  "(Raised from DocIds.assign's deferred zip: with a " +
+                  "scan-shaped input this fires during the CALLER'S first " +
+                  "action on the assigned docs, not inside assign itself.)")
           pos += 1
           DocRow(id, url, text, Tokenize.countTokens(text))
         } ++ {
